@@ -1,0 +1,176 @@
+"""Analysis chain — Lucene-``english``-analyzer-equivalent, vectorized.
+
+The reference does no tokenization itself: it stores raw strings and
+declares OpenSearch analyzers in the index mapping — ``english`` for
+``subject``/``text``/``mediaText`` (reference: doc/mappings.txt:33-56),
+applied inside Lucene.  Lucene's ``english`` analyzer is:
+
+    StandardTokenizer (UAX#29 word break)
+      → EnglishPossessiveFilter  (strip trailing 's)
+      → LowerCaseFilter
+      → StopFilter               (Lucene English stop set, 33 words)
+      → PorterStemFilter
+
+This module re-implements that chain deterministically in pure python,
+exposed two ways:
+
+* plain-python ``analyze(text)`` — used by the oracle (tests must share
+  the exact chain for rank-identical top-k);
+* Arrow-vectorized ``tokenize_udf`` / ``tokens_tf_iter`` — used by the
+  Spark build/query pipelines (pandas UDF / mapInPandas; no per-row
+  Spark python UDFs, per BASELINE input_hint).
+
+Two modes:
+
+* ``english`` — the full Lucene chain above (the engine default).
+* ``simple``  — lowercase + split on non-alphanumeric.  This matches
+  Lucene's ``simple`` analyzer used by the reference's node full-name
+  fulltext index (reference:
+  src/main/resources/db/migration/V5__moera_node_simple_fulltext.cypher:2-8)
+  and is also ANSI-SQL-expressible, which the DuckDB correctness oracle
+  relies on.
+
+Also here: ``clear_html`` — tag strip + entity unescape, the equivalent
+of the reference's ``Util.clearHtml`` (reference:
+src/main/java/org/moera/search/util/Util.java:77-82), and the hashtag
+extraction regex (reference:
+src/main/java/org/moera/search/util/BodyUtil.java:18-20,83-93).
+"""
+
+from __future__ import annotations
+
+import html
+import re
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+
+from .porter import MemoStemmer
+
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (public constant, 33 words).
+ENGLISH_STOPWORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or
+    such that the their then there these they this to was will with""".split()
+)
+
+# Approximation of UAX#29 word break used by Lucene's StandardTokenizer:
+# number runs may contain . or , between digits (MidNum/MidNumLet);
+# word runs are \w (letters, digits, underscore = ExtendNumLet) possibly
+# joined by apostrophes (MidNumLet / MidLetter).
+_TOKEN_RE = re.compile(
+    r"\d+(?:[.,]\d+)+|\w+(?:['’]\w+)*",
+    re.UNICODE,
+)
+
+# Possessive suffix after lowercasing ("world's" -> "world").
+_POSSESSIVE_RE = re.compile(r"['’]s$")
+
+# Tag pattern of Util.clearHtml (reference: util/Util.java:77-82):
+# replace (?i)</?[a-z][^>]*> with a space, then HTML-unescape.
+_HTML_TAG_RE = re.compile(r"(?i)</?[a-z][^>]*>")
+
+# Hashtag regex of BodyUtil (reference: util/BodyUtil.java:18-20):
+# (?U)(?:^|[\s(\[{>])(#[\p{L}\p{Nd}_]*[\p{L}_][\p{L}\p{Nd}_]*)\b
+# python re has no \p{..}; [^\W] == unicode word chars gives the same
+# letter/digit/underscore classes under re.UNICODE.
+_HASHTAG_RE = re.compile(
+    r"(?:^|[\s(\[{>])(#\w*[^\W\d]\w*)\b",
+    re.UNICODE,
+)
+
+# Video-presence regex (reference: util/BodyUtil.java:17,50).
+VIDEO_RE = r"(?i)<(?:object|video|iframe)"
+
+_SIMPLE_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+
+
+def clear_html(text: str) -> str:
+    """Strip tags and unescape entities (Util.clearHtml equivalent)."""
+    return html.unescape(_HTML_TAG_RE.sub(" ", text))
+
+
+def extract_hashtags(text: str) -> list[str]:
+    """Hashtags per the reference's BodyUtil regex, deduplicated in order."""
+    seen: dict[str, None] = {}
+    for m in _HASHTAG_RE.finditer(text):
+        seen.setdefault(m.group(1), None)
+    return list(seen)
+
+
+def analyze(text: str | None, mode: str = "english",
+            _stemmer: MemoStemmer | None = None) -> list[str]:
+    """Run the full analysis chain on one string → list of terms."""
+    if text is None:
+        return []
+    if mode == "simple":
+        return [t for t in _SIMPLE_SPLIT_RE.split(text.lower()) if t]
+    if mode != "english":
+        raise ValueError(f"unknown analyzer mode: {mode}")
+    stemmer = _stemmer if _stemmer is not None else MemoStemmer()
+    out: list[str] = []
+    for raw in _TOKEN_RE.findall(text):
+        tok = _POSSESSIVE_RE.sub("", raw.lower())
+        if not tok or tok in ENGLISH_STOPWORDS:
+            continue
+        out.append(stemmer(tok))
+    return out
+
+
+def analyze_series(texts: pd.Series, mode: str = "english") -> pd.Series:
+    """Vectorized analysis: pandas Series[str] → Series[list[str]].
+
+    One MemoStemmer per Arrow batch — distinct-term stemming cost is
+    amortized over the whole batch.
+    """
+    stemmer = MemoStemmer()
+    return texts.map(lambda t: analyze(t, mode=mode, _stemmer=stemmer))
+
+
+def make_tokenize_udf(mode: str = "english"):
+    """pandas UDF ``text -> array<string>`` (Arrow-batched)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def tokenize(texts: pd.Series) -> pd.Series:
+        return analyze_series(texts, mode=mode)
+
+    return tokenize
+
+
+def doc_terms_tf(text: str | None, mode: str = "english",
+                 _stemmer: MemoStemmer | None = None) -> Counter:
+    """Per-document term frequencies (map-side; no shuffle needed)."""
+    return Counter(analyze(text, mode=mode, _stemmer=_stemmer))
+
+
+def tokens_tf_iter(pdf_iter: Iterator[pd.DataFrame], *, text_col: str,
+                   doc_id_col: str = "doc_id",
+                   mode: str = "english") -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, text, …) → (doc_id, term, tf, dl) rows.
+
+    Computes tf and dl map-side in one pass — the (term, doc) frequency
+    table never goes through a groupBy shuffle, and dl rides along so
+    the postings builder never joins back to the docs table.
+    """
+    stemmer = MemoStemmer()
+    for pdf in pdf_iter:
+        doc_ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        dls: list[int] = []
+        for doc_id, text in zip(pdf[doc_id_col].values, pdf[text_col].values):
+            counts = doc_terms_tf(text, mode=mode, _stemmer=stemmer)
+            dl = sum(counts.values())
+            for term, tf in counts.items():
+                doc_ids.append(doc_id)
+                terms.append(term)
+                tfs.append(tf)
+                dls.append(dl)
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(doc_ids, dtype="int64"),
+             "term": pd.Series(terms, dtype="object"),
+             "tf": pd.Series(tfs, dtype="int32"),
+             "dl": pd.Series(dls, dtype="int32")}
+        )

@@ -1,0 +1,120 @@
+"""Pure-python BM25 oracle — the rank-identity contract.
+
+The reference's scoring is Lucene's default BM25 similarity invoked via
+OpenSearch ``multi_match`` (reference: index/Index.java:304-313; the
+``text`` field is BM25-analyzed per doc/mappings.txt:41-44):
+
+    idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfnorm(t) = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(d)  = Σ_t  idf(t) · tfnorm(t, d)          k1 = 1.2, b = 0.75
+
+The reference's Java stack cannot run in this sandbox, so this small,
+obviously-correct in-memory implementation — sharing the exact analyzer
+chain with the Spark engine — is the stand-in oracle the engine must be
+rank-identical to (same scores, same ``(-score, doc_id)`` tie-break).
+
+Filter semantics mirror ``Index.search``: filters are unscored and
+restrict the candidate set; the score comes only from the text clause
+(reference: index/Index.java:296-313 — ``must`` vs ``filter`` clauses
+of the bool query).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from .analyzer import analyze
+from .porter import MemoStemmer
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_tfnorm(tf: int, dl: int, avgdl: float, k1: float = K1,
+                b: float = B) -> float:
+    return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+@dataclass
+class OracleIndex:
+    """In-memory inverted index over (doc_id → text, attrs)."""
+
+    mode: str = "english"
+    k1: float = K1
+    b: float = B
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)
+    doc_len: dict[int, int] = field(default_factory=dict)
+    attrs: dict[int, dict[str, Any]] = field(default_factory=dict)
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_len)
+
+    @property
+    def avgdl(self) -> float:
+        if not self.doc_len:
+            return 0.0
+        return sum(self.doc_len.values()) / len(self.doc_len)
+
+    def add(self, doc_id: int, text: str | None,
+            attrs: dict[str, Any] | None = None) -> None:
+        stemmer = MemoStemmer()
+        counts = Counter(analyze(text, mode=self.mode, _stemmer=stemmer))
+        self.doc_len[doc_id] = sum(counts.values())
+        self.attrs[doc_id] = attrs or {}
+        for term, tf in counts.items():
+            self.postings.setdefault(term, {})[doc_id] = tf
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def search(self, query_text: str, k: int = 10,
+               predicate: Callable[[dict[str, Any]], bool] | None = None,
+               ) -> list[tuple[int, float]]:
+        """Disjunctive (OR) BM25 top-k, matching Lucene ``multi_match``
+        default semantics; ties broken by ascending doc_id.
+
+        Query analysis uses the same chain as indexing; duplicate query
+        terms are deduplicated (Lucene scores each unique term once per
+        BooleanQuery clause deduplication).
+        """
+        q_terms = sorted(set(analyze(query_text, mode=self.mode)))
+        if not q_terms or not self.doc_len:
+            return []
+        n, avgdl = self.n_docs, self.avgdl
+        scores: dict[int, float] = {}
+        # Per-doc term contributions summed in sorted-term order —
+        # deterministic float64 reduction, mirrored by the engine.
+        for term in q_terms:
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            idf = bm25_idf(n, len(plist))
+            for doc_id, tf in plist.items():
+                contrib = idf * bm25_tfnorm(tf, self.doc_len[doc_id],
+                                            avgdl, self.k1, self.b)
+                scores[doc_id] = scores.get(doc_id, 0.0) + contrib
+        items = [
+            (doc_id, s) for doc_id, s in scores.items()
+            if predicate is None or predicate(self.attrs[doc_id])
+        ]
+        items.sort(key=lambda x: (-x[1], x[0]))
+        return items[:k]
+
+
+def build_oracle(rows: list[dict[str, Any]], *, text_col: str = "text",
+                 doc_id_col: str = "doc_id",
+                 mode: str = "english") -> OracleIndex:
+    """Build an OracleIndex from a list of row dicts."""
+    idx = OracleIndex(mode=mode)
+    for row in rows:
+        attrs = {c: v for c, v in row.items() if c not in (text_col,)}
+        idx.add(row[doc_id_col], row.get(text_col), attrs)
+    return idx

@@ -1,0 +1,202 @@
+"""Porter stemmer — the stemming stage of the Lucene ``english`` analyzer.
+
+The reference stores raw text and delegates analysis to OpenSearch's
+``english`` analyzer (reference: doc/mappings.txt:33-56), whose final
+stage is Lucene's PorterStemFilter — the original 1980 Porter
+algorithm.  This is a from-scratch pure-python implementation of that
+public algorithm (M.F. Porter, "An algorithm for suffix stripping",
+Program 14(3), 1980).
+
+It is applied inside Arrow-batched pandas UDFs with a per-batch memo
+cache (vocabulary << token count), so the per-token python cost is paid
+once per distinct term per batch — no per-row Spark UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences in ``stem`` ([C](VC){m}[V])."""
+    m = 0
+    i, n = 0, len(stem)
+    # skip initial consonants
+    while i < n and _is_cons(stem, i):
+        i += 1
+    while i < n:
+        # in a vowel run
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    if (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+    ):
+        return word[-1] not in "wxy"
+    return False
+
+
+def _step1ab(w: str) -> str:
+    if w.endswith("s"):
+        if w.endswith("sses"):
+            w = w[:-2]
+        elif w.endswith("ies"):
+            w = w[:-2]
+        elif not w.endswith("ss"):
+            w = w[:-1]
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        w = _step1b_fixup(w)
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        w = _step1b_fixup(w)
+    return w
+
+
+def _step1b_fixup(w: str) -> str:
+    if w.endswith(("at", "bl", "iz")):
+        return w + "e"
+    if _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+        return w[:-1]
+    if _measure(w) == 1 and _ends_cvc(w):
+        return w + "e"
+    return w
+
+
+def _step1c(w: str) -> str:
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        return w[:-1] + "i"
+    return w
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("bli", "ble"),
+    ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+    ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+    ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+    ("biliti", "ble"), ("logi", "log"),
+]
+
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def _step2(w: str) -> str:
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                return stem + rep
+            return w
+    return w
+
+
+def _step3(w: str) -> str:
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                return stem + rep
+            return w
+    return w
+
+
+def _step4(w: str) -> str:
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                continue
+            if _measure(stem) > 1:
+                return stem
+            return w
+    return w
+
+
+def _step5(w: str) -> str:
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+    if w.endswith("ll") and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+def stem(word: str) -> str:
+    """Porter-stem a single lowercase word.
+
+    Words of length <= 2 are returned unchanged (per the original
+    algorithm's convention, also followed by Lucene's PorterStemmer).
+    """
+    if len(word) <= 2:
+        return word
+    w = _step1ab(word)
+    w = _step1c(w)
+    w = _step2(w)
+    w = _step3(w)
+    w = _step4(w)
+    w = _step5(w)
+    return w
+
+
+class MemoStemmer:
+    """Memoizing wrapper — vocabulary is tiny relative to token stream."""
+
+    __slots__ = ("_cache",)
+
+    def __init__(self) -> None:
+        self._cache: dict[str, str] = {}
+
+    def __call__(self, word: str) -> str:
+        s = self._cache.get(word)
+        if s is None:
+            s = stem(word)
+            self._cache[word] = s
+        return s

@@ -1,0 +1,245 @@
+"""Top-k BM25 retrieval over the built index.
+
+The Spark restatement of the reference's search path (reference:
+rest/SearchEntriesController.java:123-181 → index/Index.java:278-410
+builds a bool query with one scored ``multi_match`` clause plus
+unscored ``filter`` clauses; Lucene executes BM25 with block-max WAND
+skipping and returns ranked doc ids; the controller then hydrates them
+via EntryRepository.findDocuments, EntryRepository.java:209-290):
+
+    analyze(query) → idf from term_stats → postings(term ∈ q) with
+    parquet min-max pruning → decode + score (Arrow) → unscored filter
+    semi-join → deterministic top-k → optional hydration join to docs
+
+Two scoring strategies, both rank-identical to the oracle:
+
+* ``exhaustive`` — decode every matching posting block, score, top-k.
+  One job; the baseline and the filter-heavy path.
+* ``pruned`` — block-max pruning at chunk granularity (the BMW
+  analogue, expressed in DataFrame algebra): per chunk an admissible
+  upper bound Σ_t max(idf_t · max_tfnorm) is computed WITHOUT decoding
+  any block; the top-bounded chunks are scored exhaustively to obtain a
+  threshold θ (the running kth score of WAND), then every chunk whose
+  bound < θ is pruned.  Docs in pruned chunks score ≤ bound < θ, so the
+  final top-k is provably unchanged.
+
+Determinism: per-doc scores are float64 sums of per-term contributions
+accumulated in sorted-term order (``array_sort(collect_list(struct(term,
+contrib)))`` + ``aggregate``), matching the oracle's reduction order
+exactly; ties broken by ascending doc_id (the reference's rank order is
+likewise deterministic for equal scores — Lucene breaks ties by doc id).
+
+Filter semantics preserved from the reference: filters never contribute
+to the score (Index.java:296-313 ``must`` vs ``filter``); with filters
+present, θ is computed from *filtered* seed scores so pruning stays
+admissible for the filtered top-k.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from . import manifest as mf
+from .analyzer import analyze
+from .oracle import bm25_idf
+
+DECODED_SCHEMA = "term string, doc_id long, contrib double"
+
+
+def _decode_score_iter(idf: dict[str, float], avgdl: float, k1: float,
+                       b: float):
+    """mapInPandas body: posting-block rows → (term, doc_id, contrib)."""
+
+    def fn(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .postings import decode_block, tfnorm
+
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            terms_out: list[np.ndarray] = []
+            docs_out: list[np.ndarray] = []
+            contrib_out: list[np.ndarray] = []
+            for term, first, deltas, tfs, dls in zip(
+                pdf["term"].values, pdf["first_doc_id"].values,
+                pdf["deltas"].values, pdf["tfs"].values, pdf["dls"].values,
+            ):
+                doc_ids, tf, dl = decode_block(int(first), deltas, tfs, dls)
+                contrib = idf[term] * tfnorm(tf, dl, avgdl, k1, b)
+                terms_out.append(np.repeat(term, doc_ids.shape[0]))
+                docs_out.append(doc_ids)
+                contrib_out.append(contrib)
+            yield pd.DataFrame({
+                "term": np.concatenate(terms_out),
+                "doc_id": np.concatenate(docs_out),
+                "contrib": np.concatenate(contrib_out),
+            })
+
+    return fn
+
+
+class FTSIndex:
+    """Handle over a built index directory (docs/postings/stats tables)."""
+
+    def __init__(self, spark, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        config = mf.load_config(index_dir)
+        if config is None:
+            raise FileNotFoundError(f"no build config at {index_dir}")
+        self.config = config
+        self.mode = config["mode"]
+        self.k1 = float(config["k1"])
+        self.b = float(config["b"])
+        self.chunk_size = int(config["chunk_size"])
+        corpus = spark.read.parquet(
+            os.path.join(index_dir, "corpus_stats")).collect()[0]
+        self.n_docs = int(corpus["n_docs"])
+        self.avgdl = float(corpus["avgdl"])
+
+    @property
+    def docs(self):
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+
+    @property
+    def postings(self):
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, "postings"))
+
+    @property
+    def term_stats(self):
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, "term_stats"))
+
+    # -- query pieces -------------------------------------------------
+
+    def query_terms(self, query_text: str) -> list[str]:
+        return sorted(set(analyze(query_text, mode=self.mode)))
+
+    def idf_map(self, q_terms: list[str]) -> dict[str, float]:
+        """df lookup for the (tiny) query term set → Lucene idf."""
+        from pyspark.sql import functions as F
+
+        if not q_terms:
+            return {}
+        rows = (self.term_stats
+                .filter(F.col("term").isin(q_terms))
+                .collect())
+        return {r["term"]: bm25_idf(self.n_docs, int(r["df"])) for r in rows}
+
+    def _filter_pred(self, filters: dict | None):
+        from pyspark.sql import functions as F
+
+        if not filters:
+            return None
+        pred = F.lit(True)
+        if "role" in filters:
+            pred = pred & (F.col("role") == filters["role"])
+        if "tool" in filters:
+            pred = pred & (F.col("tool") == filters["tool"])
+        if "ts_min" in filters:
+            pred = pred & (F.col("ts") >= F.lit(filters["ts_min"]))
+        if "ts_max" in filters:
+            pred = pred & (F.col("ts") <= F.lit(filters["ts_max"]))
+        return pred
+
+    def _score(self, postings_sel, idf: dict[str, float], filters):
+        """Decode + score + deterministic per-doc reduction (+ filter)."""
+        from pyspark.sql import functions as F
+
+        decoded = postings_sel.mapInPandas(
+            _decode_score_iter(idf, self.avgdl, self.k1, self.b),
+            DECODED_SCHEMA)
+        scored = decoded.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score"))
+        pred = self._filter_pred(filters)
+        if pred is not None:
+            allowed = self.docs.filter(pred).select("doc_id")
+            scored = scored.join(allowed, "doc_id", "left_semi")
+        return scored
+
+    # -- public entry points -------------------------------------------
+
+    def search(self, query_text: str, k: int = 10,
+               filters: dict | None = None, method: str = "exhaustive",
+               hydrate: bool = False):
+        """Top-k BM25. Returns DataFrame (doc_id, score) rank-ordered,
+        or hydrated doc rows when ``hydrate``."""
+        from pyspark.sql import functions as F
+
+        q_terms = self.query_terms(query_text)
+        idf = self.idf_map(q_terms)
+        matched = [t for t in q_terms if t in idf]
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not matched:
+            result = empty
+        else:
+            postings_sel = self.postings.filter(F.col("term").isin(matched))
+            if method == "exhaustive":
+                scored = self._score(postings_sel, idf, filters)
+            elif method == "pruned":
+                scored = self._pruned_scored(postings_sel, idf, filters, k)
+            else:
+                raise ValueError(f"unknown method {method}")
+            result = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                      .limit(k))
+        if hydrate:
+            # broadcast the k winners into the docs table (the analogue
+            # of fetch-ids-then-hydrate, EntryRepository.findDocuments)
+            result = (self.docs.join(F.broadcast(result), "doc_id")
+                      .orderBy(F.desc("score"), F.asc("doc_id")))
+        return result
+
+    def _pruned_scored(self, postings_sel, idf: dict[str, float],
+                       filters, k: int, seed_chunks: int = 32):
+        """Chunk-granularity block-max pruning (see module docstring)."""
+        from pyspark.sql import functions as F
+
+        idf_expr = F.create_map(
+            *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))])
+        cand = (postings_sel
+                .withColumn("chunk", (F.col("first_doc_id")
+                                      / self.chunk_size).cast("long"))
+                .withColumn("ub", idf_expr[F.col("term")]
+                            * F.col("max_tfnorm")))
+        bounds = (cand.groupBy("chunk", "term")
+                  .agg(F.max("ub").alias("tub"))
+                  .groupBy("chunk").agg(F.sum("tub").alias("bound")))
+        seed = [int(r["chunk"]) for r in
+                bounds.orderBy(F.desc("bound"), F.asc("chunk"))
+                .limit(seed_chunks).collect()]
+        if not seed:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        seed_scored = self._score(
+            cand.filter(F.col("chunk").isin(seed)), idf, filters)
+        kth = (seed_scored.orderBy(F.desc("score")).limit(k)
+               .collect())
+        theta = float(kth[-1]["score"]) if len(kth) >= k else 0.0
+        rest_chunks = (bounds.filter(~F.col("chunk").isin(seed))
+                       .filter(F.col("bound") >= F.lit(theta))
+                       .select("chunk"))
+        rest = cand.join(F.broadcast(rest_chunks), "chunk", "left_semi")
+        rest_scored = self._score(rest, idf, filters)
+        return seed_scored.unionByName(rest_scored)
+
+    def match_count(self, query_text: str,
+                    filters: dict | None = None) -> int:
+        """Total-hits analogue (reference returns total with each page)."""
+        from pyspark.sql import functions as F
+
+        q_terms = self.query_terms(query_text)
+        idf = self.idf_map(q_terms)
+        matched = [t for t in q_terms if t in idf]
+        if not matched:
+            return 0
+        postings_sel = self.postings.filter(F.col("term").isin(matched))
+        scored = self._score(postings_sel, idf, filters)
+        return scored.count()
