@@ -107,7 +107,8 @@ def mark(index_dir: str, stage: str, partition_ids: list[int], status: str,
             "started_at": started_at or now, "finished_at": now,
         })
     keep = m[~((m["stage"] == stage) & (m["partition_id"].isin(partition_ids)))]
-    out = pd.concat([keep, pd.DataFrame(new_rows)], ignore_index=True)
+    add = pd.DataFrame(new_rows)
+    out = add if keep.empty else pd.concat([keep, add], ignore_index=True)
     os.makedirs(index_dir, exist_ok=True)
     _write_manifest(index_dir, out)
 

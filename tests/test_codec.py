@@ -1,0 +1,72 @@
+"""Posting codec: roundtrip + property-based fuzz + block-max
+admissibility (FIXTURES.md §3 invariants)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from moera_search_spark.postings import (
+    decode_block,
+    encode_term_run,
+    tfnorm,
+    vb_decode,
+    vb_encode,
+)
+
+
+class TestVarbyte:
+    def test_empty(self):
+        assert vb_encode(np.array([], dtype=np.int64)) == b""
+        assert vb_decode(b"").shape == (0,)
+
+    def test_known_values(self):
+        # 0 → one byte 0x00; 127 → 0x7F; 128 → 0x80 0x01 (LE groups)
+        assert vb_encode(np.array([0])) == b"\x00"
+        assert vb_encode(np.array([127])) == b"\x7f"
+        assert vb_encode(np.array([128])) == b"\x80\x01"
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**62 - 1),
+                    max_size=500))
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip_fuzz(self, values):
+        arr = np.array(values, dtype=np.int64)
+        assert np.array_equal(vb_decode(vb_encode(arr)), arr)
+
+
+class TestBlocks:
+    def _random_postings(self, n, seed=0, max_doc=10**7):
+        rng = np.random.default_rng(seed)
+        doc_ids = np.sort(rng.choice(max_doc, size=n, replace=False)
+                          ).astype(np.int64)
+        tfs = rng.integers(1, 60, size=n).astype(np.int64)
+        dls = rng.integers(1, 500, size=n).astype(np.int64)
+        return doc_ids, tfs, dls
+
+    @pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 1000])
+    def test_roundtrip(self, n):
+        doc_ids, tfs, dls = self._random_postings(n, seed=n)
+        rows = encode_term_run(doc_ids, tfs, dls, avgdl=100.0)
+        rd, rt, rl = [], [], []
+        for (f, last, cnt, db, tb, lb, _mx) in rows:
+            d, t, l = decode_block(f, db, tb, lb)
+            assert d[0] == f and d[-1] == last and len(d) == cnt <= 128
+            rd.append(d), rt.append(t), rl.append(l)
+        assert np.array_equal(np.concatenate(rd), doc_ids)
+        assert np.array_equal(np.concatenate(rt), tfs)
+        assert np.array_equal(np.concatenate(rl), dls)
+
+    def test_block_max_is_true_upper_bound(self):
+        """Admissibility: pruning must never change top-k, which holds
+        iff max_tfnorm bounds every in-block tfnorm exactly."""
+        doc_ids, tfs, dls = self._random_postings(1000, seed=7)
+        avgdl = 123.4
+        for (f, _l, _n, db, tb, lb, mx) in encode_term_run(
+                doc_ids, tfs, dls, avgdl=avgdl):
+            d, t, l = decode_block(f, db, tb, lb)
+            scores = tfnorm(t, l, avgdl)
+            assert float(np.max(scores)) <= mx
+            # and exact (not just a bound): it is the block max
+            assert float(np.max(scores)) == mx

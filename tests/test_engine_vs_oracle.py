@@ -1,0 +1,88 @@
+"""End-to-end rank-identity: built index vs pure-python BM25 oracle on
+the reference query set (the BASELINE.json correctness contract), plus
+the per-turn text-equality row invariant and corpus stats checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from moera_search_spark.fixtures import (
+    filters_predicate,
+    reference_query_set,
+)
+
+QUERIES = reference_query_set()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(built_index):
+    return built_index.docs.orderBy("doc_id").toPandas()
+
+
+class TestRowInvariant:
+    def test_doc_ids_dense_and_sorted(self, docs_pdf):
+        assert list(docs_pdf["doc_id"]) == list(range(len(docs_pdf)))
+        key = list(zip(docs_pdf["conv_id"], docs_pdf["turn_idx"]))
+        assert key == sorted(key)
+
+    def test_per_turn_text_equality(self, docs_pdf, corpus_pdf):
+        exp = corpus_pdf.sort_values(["conv_id", "turn_idx"])
+        assert list(docs_pdf["text"].fillna("")) == \
+            list(exp["text"].fillna(""))
+        assert list(docs_pdf["role"]) == list(exp["role"])
+
+
+class TestCorpusStats:
+    def test_n_docs_avgdl(self, built_index, oracle_index):
+        assert built_index.n_docs == oracle_index.n_docs
+        assert built_index.avgdl == pytest.approx(oracle_index.avgdl,
+                                                  abs=1e-12)
+
+    def test_df_matches_oracle(self, built_index, oracle_index):
+        stats = {r["term"]: r["df"]
+                 for r in built_index.term_stats.collect()}
+        oracle_df = {t: len(p) for t, p in oracle_index.postings.items()}
+        assert stats == oracle_df
+
+    def test_doc_lengths_match(self, built_index, oracle_index, docs_pdf):
+        for doc_id, dl in zip(docs_pdf["doc_id"], docs_pdf["dl"]):
+            assert oracle_index.doc_len[int(doc_id)] == int(dl)
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=[q["query_id"] for q in QUERIES])
+@pytest.mark.parametrize("method", ["exhaustive", "pruned"])
+class TestRankIdentity:
+    def test_topk(self, built_index, oracle_index, q, method):
+        expected = oracle_index.search(
+            q["query_text"], k=q["k"],
+            predicate=filters_predicate(q["filters"]))
+        got = [(int(r["doc_id"]), float(r["score"])) for r in
+               built_index.search(q["query_text"], k=q["k"],
+                                  filters=q["filters"],
+                                  method=method).collect()]
+        assert [d for d, _ in got] == [d for d, _ in expected], \
+            f"rank mismatch: {got[:3]} vs {expected[:3]}"
+        for (_, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, abs=1e-9)
+
+
+class TestQueryEdges:
+    def test_match_count(self, built_index, oracle_index):
+        n = built_index.match_count("spark shuffle partition")
+        exp = len(oracle_index.search("spark shuffle partition",
+                                      k=10**9))
+        assert n == exp
+
+    def test_hydration_preserves_rank(self, built_index):
+        rows = built_index.search("spark shuffle partition", k=5,
+                                  hydrate=True).collect()
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["text"] is not None for r in rows)
+
+    def test_pagination_window(self, built_index, oracle_index):
+        """from = page*limit, size = limit (Index.java:397-398)."""
+        full = oracle_index.search("data table join", k=20)
+        page1 = built_index.search("data table join", k=20).collect()[10:20]
+        assert [int(r["doc_id"]) for r in page1] == \
+            [d for d, _ in full[10:20]]
