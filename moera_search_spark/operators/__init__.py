@@ -1,0 +1,30 @@
+"""Operator inventory (SURVEY.md §2) re-expressed Spark-first.
+
+Each module exports ``QUERIES: dict[name, (spark_fn, oracle_sql | None)]``
+where ``spark_fn(spark, sf_dir) -> DataFrame`` and ``oracle_sql`` is the
+equivalent ANSI SQL DuckDB runs on the same parquet tables.  Column
+names and types are aligned between both sides; computed floats are
+emitted as integer micro-units (``*_e6`` bigint) so cross-engine float
+summation order can never flip a value hash.
+"""
+
+from __future__ import annotations
+
+
+def merged_queries() -> dict:
+    from . import (
+        dedup,
+        fulltext,
+        multimodal,
+        relational,
+        similarity,
+        text_analysis,
+    )
+
+    out: dict = {}
+    for mod in (fulltext, relational, dedup, similarity, text_analysis,
+                multimodal):
+        for name, pair in mod.QUERIES.items():
+            assert name not in out, f"duplicate query name {name}"
+            out[name] = pair
+    return out

@@ -1,0 +1,282 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline ops a 100-TB corpus engine needs alongside the
+reference's revision-dedup semantics (reference:
+scanner/ingest/PostingIngest.java:140-146,177-184 skips re-indexing
+unchanged revisions; our exact-dup fingerprint is the batch analogue).
+
+Exact and n-gram-Jaccard dedup have DuckDB oracle twins.  MinHash-LSH
+and SimHash use md5-derived 60-bit integer hashes (deterministic,
+reproducible in pure python for the pytest oracle) — they are listed
+without SQL oracles (driver runs the weaker rows-only check) and are
+verified in tests/test_dedup.py instead.
+
+Scale notes: every variant is a shuffle-on-key plan — fingerprint
+groupBy (exact), shingle-join restricted to shared shingles (Jaccard),
+band-bucket groupBy (LSH).  No pairwise O(n²) anywhere except inside a
+bucket/candidate group, which is the point of LSH banding.
+"""
+
+from __future__ import annotations
+
+N_HASHES = 16
+N_BANDS = 8  # rows-per-band = 2
+_MERSENNE = (1 << 61) - 1
+# deterministic affine permutation constants (seeded, fixed)
+_PERM_A = [3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61]
+_PERM_B = [5, 9, 15, 21, 25, 27, 33, 35, 39, 45, 49, 51, 55, 57, 63, 65]
+
+JACCARD_THRESHOLD = 0.2
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm_text_col(F):
+    """Whitespace-squished lowercase text (the normalization step)."""
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 fingerprint of normalized text → canonical id =
+    min(doc_id) per group + group size.  One hash-groupBy shuffle."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.md5(_norm_text_col(F)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count("*").alias("n_dups"))
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+"""
+
+
+def _bigrams(spark, sf_dir):
+    """Word 2-gram (shingle) set per doc: posexplode + self-join on
+    adjacent positions — both engines enumerate identically."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z0-9]+"))
+        .alias("pos", "tok")).filter(F.col("tok") != "")
+    t1 = toks.alias("t1")
+    t2 = toks.alias("t2")
+    return (
+        t1.join(t2, (F.col("t1.doc_id") == F.col("t2.doc_id"))
+                & (F.col("t2.pos") == F.col("t1.pos") + 1))
+        .select(F.col("t1.doc_id").alias("doc_id"),
+                F.concat_ws(" ", "t1.tok", "t2.tok").alias("shingle"))
+        .distinct()
+    )
+
+
+_BIGRAMS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id,
+               generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '[^a-z0-9]+') AS l
+              FROM documents)
+      ) WHERE tok <> ''),
+    shingles AS (
+      SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok AS shingle
+      FROM toks t1 JOIN toks t2
+        ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1)
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: candidate pairs are docs sharing ≥1
+    shingle (the join restricts the pair space); J = |∩|/|∪| exact."""
+    from pyspark.sql import functions as F
+
+    sh = _bigrams(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", F.col("inter")
+                    / (F.col("sa.n") + F.col("sb.n") - F.col("inter")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b",
+                F.round(F.col("jaccard") * 1e6).cast("long")
+                .alias("jaccard_e6"))
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+    {_BIGRAMS_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(round(inter / (sa.n + sb.n - inter) * 1e6) AS BIGINT)
+             AS jaccard_e6
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _shingle_hash_col(F, col):
+    """48-bit integer from md5 hex — deterministic on any engine and in
+    pure python (int(md5(s).hexdigest()[:12], 16)); 48 bits keeps
+    a_i·h + b_i inside int64 for every permutation constant."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def minhash_signatures(spark, sf_dir, n_hashes: int = N_HASHES):
+    """MinHash signature per doc: h_i(x) = (a_i·x + b_i) mod M over the
+    md5-derived shingle hashes; min per permutation.
+
+    Expressed as explode → groupBy(doc).agg(min per perm) — partial
+    (map-side) min combine means the shuffle carries one row per doc,
+    not one per shingle."""
+    from pyspark.sql import functions as F
+
+    sh = _bigrams(spark, sf_dir).withColumn(
+        "h", _shingle_hash_col(F, F.col("shingle")))
+    aggs = [
+        F.min((F.col("h") * _PERM_A[i] + _PERM_B[i]) % _MERSENNE)
+        .alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding: band signature → bucket join → candidate
+    pairs → verified by true Jaccard ≥ threshold.
+
+    Scale path: only docs sharing a band bucket are ever paired — the
+    pair space is the union of per-bucket cliques, not n²."""
+    from pyspark.sql import functions as F
+
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for bnd in range(N_BANDS):
+        cols = [f"mh{bnd * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(sig.select(
+            "doc_id", F.lit(bnd).alias("band"),
+            F.md5(F.concat_ws("_", *cols)).alias("bucket")))
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("cand_a"),
+                F.col("b.doc_id").alias("cand_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (semi-join back to shingles)
+    verified = dedup_ngram_jaccard(spark, sf_dir)
+    return cand.join(
+        verified,
+        (F.col("cand_a") == F.col("id_a"))
+        & (F.col("cand_b") == F.col("id_b")),
+        "inner").select("id_a", "id_b", "jaccard_e6")
+
+
+def dedup_simhash(spark, sf_dir, bits: int = 32):
+    """SimHash fingerprint per doc: sign of per-bit weighted sums of
+    token-hash bits (weight = tf).  Pure DataFrame bit algebra —
+    shift/mask/sum per bit position, no python."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", _shingle_hash_col(F, F.col("tok")))
+    bit_sums = h.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ])
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.45):
+    """Embedding near-dup: pairs with cosine ≥ threshold.  Brute-force
+    pair join at test scale; the production path buckets by LSH first
+    (see similarity.ann_lsh_bucket)."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                           lambda acc, x: acc + x.cast("double")
+                           * x.cast("double"))).alias("nrm"))
+    a = norm.alias("a")
+    b = norm.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.round(F.col("cos") * 1e4).cast("long").alias("cos_e4"))
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round(list_cosine_similarity(a.embedding, b.embedding)
+                      * 1e4) AS BIGINT) AS cos_e4
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),  # rows-only check
+    "dedup_simhash": (dedup_simhash, None),          # rows-only check
+    "dedup_embedding_cosine":
+        (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
+}

@@ -1,0 +1,244 @@
+"""Full-text / BM25 operators over the ``documents`` table — the
+SQL-parity twin of the engine's index+query path.
+
+These use the ``simple`` analyzer (lowercase + split on non-alnum —
+the analyzer of the reference's node-name fulltext index, reference:
+src/main/resources/db/migration/V5__moera_node_simple_fulltext.cypher:2-8)
+so the DuckDB oracle can reproduce tokenization exactly in ANSI SQL.
+The engine-grade path (Lucene-english chain, compressed postings,
+block-max pruning) lives in build.py/query.py and is verified by
+pytest against the pure-python oracle; these entries verify the same
+*scoring semantics* cross-engine:
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))          (Lucene BM25)
+    tfnorm = tf / (tf + k1(1 - b + b·dl/avgdl))       k1=1.2 b=0.75
+
+as invoked by the reference's search entry point (reference:
+index/Index.java:278-410; pagination from/size at :397-398).
+
+All Spark plans here are pure DataFrame algebra (split/explode/agg/
+join) — whole-stage-codegen'd, no python in the hot path.
+"""
+
+from __future__ import annotations
+
+QUERY_TERMS = ["spark", "join", "window"]  # fixed reference query
+DICT_TERMS = ["spark", "join", "window", "table", "row", "scan"]
+K = 10
+
+_TOKS_SQL = """
+    SELECT doc_id, term FROM (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents
+    ) WHERE term <> ''
+"""
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                F.explode(F.split(F.lower("text"), "[^a-z0-9]+"))
+                .alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def fts_corpus_stats(spark, sf_dir):
+    """N and avgdl — the corpus statistics Lucene maintains per segment."""
+    from pyspark.sql import functions as F
+
+    dl = _toks(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("dl"))
+    return dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.round(F.avg("dl") * 1e6)).cast("long").alias("avgdl_e6"))
+
+
+FTS_CORPUS_STATS_SQL = f"""
+    WITH toks AS ({_TOKS_SQL}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
+    SELECT count(*) AS n_docs,
+           CAST(round(avg(dl) * 1e6) AS BIGINT) AS avgdl_e6
+    FROM dl
+"""
+
+
+def fts_term_stats(spark, sf_dir):
+    """df per dictionary term (term_stats analogue)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _toks(spark, sf_dir)
+        .filter(F.col("term").isin(DICT_TERMS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+FTS_TERM_STATS_SQL = f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks WHERE term IN ({", ".join(repr(t) for t in DICT_TERMS)})
+    GROUP BY term
+"""
+
+
+def fts_doc_lengths(spark, sf_dir):
+    """dl per document (the norms sidecar)."""
+    from pyspark.sql import functions as F
+
+    return _toks(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("dl"))
+
+
+FTS_DOC_LENGTHS_SQL = f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+"""
+
+
+def _bm25_scored(spark, sf_dir, q_terms):
+    """Shared BM25 scoring plan: tf ⋈ df ⋈ dl ⋈ corpus → per-doc score.
+
+    The query-term ⋈ postings join of the search path (reference:
+    Index.java:304-313, executed by Lucene) — here terms_df ⋈ tf rows
+    with the per-term idf broadcast by Catalyst (tiny dimension side).
+    """
+    from pyspark.sql import functions as F
+
+    toks = _toks(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    qt = toks.filter(F.col("term").isin(q_terms))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (F.col("tf") + 1.2 * (1.0 - 0.75
+                                    + 0.75 * F.col("dl") / F.col("avgdl"))))
+    )
+    return contrib.groupBy("doc_id").agg(
+        (F.round(F.sum("contrib") * 1e6)).cast("long").alias("score_e6"))
+
+
+def _bm25_sql(q_terms, extra_filter=""):
+    terms = ", ".join(repr(t) for t in q_terms)
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({terms}) GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(sum(
+               ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + 1.2 * (1 - 0.75
+                                         + 0.75 * dl.dl / corpus.avgdl))
+             ) * 1e6) AS BIGINT) AS score_e6
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+      GROUP BY tf.doc_id)
+    SELECT scored.doc_id, score_e6 FROM scored
+    JOIN documents ON documents.doc_id = scored.doc_id
+    {extra_filter}
+    ORDER BY score_e6 DESC, scored.doc_id LIMIT {K}
+"""
+
+
+def fts_bm25_topk(spark, sf_dir):
+    """Top-k BM25, deterministic (score, doc_id) tie-break — the
+    by-text search path (SearchEntriesController.byText →
+    Index.search)."""
+    from pyspark.sql import functions as F
+
+    scored = _bm25_scored(spark, sf_dir, QUERY_TERMS)
+    return scored.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(K)
+
+
+FTS_BM25_TOPK_SQL = _bm25_sql(QUERY_TERMS)
+
+
+def fts_bm25_filtered(spark, sf_dir):
+    """BM25 + unscored filter (must vs filter separation,
+    Index.java:296-313): filters restrict candidates but never change
+    scores — corpus stats stay global."""
+    from pyspark.sql import functions as F
+
+    scored = _bm25_scored(spark, sf_dir, QUERY_TERMS)
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en") \
+        .select("doc_id")
+    return (scored.join(docs, "doc_id", "left_semi")
+            .orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(K))
+
+
+FTS_BM25_FILTERED_SQL = _bm25_sql(QUERY_TERMS,
+                                  extra_filter="WHERE documents.lang = 'en'")
+
+
+def fts_conjunctive_and(spark, sf_dir):
+    """Conjunctive match: docs containing ALL query terms — posting
+    intersection as a join on doc_id (SURVEY §2.3: posting-list
+    intersection = join on docid)."""
+    from pyspark.sql import functions as F
+
+    toks = _toks(spark, sf_dir)
+    hits = (toks.filter(F.col("term").isin(QUERY_TERMS)).distinct()
+            .groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+            .filter(F.col("n_terms") == len(QUERY_TERMS)))
+    return hits.select("doc_id")
+
+
+FTS_CONJUNCTIVE_AND_SQL = f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT doc_id FROM (
+      SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
+      WHERE term IN ({", ".join(repr(t) for t in QUERY_TERMS)})
+      GROUP BY doc_id)
+    WHERE n_terms = {len(QUERY_TERMS)}
+"""
+
+
+def fts_prefix_match(spark, sf_dir):
+    """Prefix query over the term dictionary — the reference's
+    fulltext prefix search builds `term*` wildcards ANDed together
+    (reference: NodeSearchRepository.java:296-299)."""
+    from pyspark.sql import functions as F
+
+    toks = _toks(spark, sf_dir)
+    return (toks.filter(F.col("term").startswith("sc"))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df")))
+
+
+FTS_PREFIX_MATCH_SQL = f"""
+    WITH toks AS ({_TOKS_SQL})
+    SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks WHERE term LIKE 'sc%' GROUP BY term
+"""
+
+
+QUERIES = {
+    "fts_corpus_stats": (fts_corpus_stats, FTS_CORPUS_STATS_SQL),
+    "fts_term_stats": (fts_term_stats, FTS_TERM_STATS_SQL),
+    "fts_doc_lengths": (fts_doc_lengths, FTS_DOC_LENGTHS_SQL),
+    "fts_bm25_topk": (fts_bm25_topk, FTS_BM25_TOPK_SQL),
+    "fts_bm25_filtered": (fts_bm25_filtered, FTS_BM25_FILTERED_SQL),
+    "fts_conjunctive_and": (fts_conjunctive_and, FTS_CONJUNCTIVE_AND_SQL),
+    "fts_prefix_match": (fts_prefix_match, FTS_PREFIX_MATCH_SQL),
+}

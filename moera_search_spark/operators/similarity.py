@@ -1,0 +1,137 @@
+"""Similarity search over the ``embeddings`` table.
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the scale path (bucket first, score within bucket — the
+same prune-then-score shape as the engine's block-max WAND).  Both are
+pure DataFrame algebra: the dot product is ``zip_with`` +
+``aggregate`` (JVM-side higher-order functions, no python UDF).
+"""
+
+from __future__ import annotations
+
+QUERY_VEC_ID = 0
+K = 10
+LSH_BITS = 8
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _with_norm(df):
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                           lambda acc, x: acc + x.cast("double")
+                           * x.cast("double"))))
+
+
+def _cos(F):
+    return F.aggregate(
+        F.zip_with("a.embedding", "q.embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x) \
+        / (F.col("a.nrm") * F.col("q.nrm"))
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the query vector (vec_id 0),
+    deterministic (sim, vec_id) ordering.  The query side is one row —
+    Catalyst broadcasts it; the scan side streams."""
+    from pyspark.sql import functions as F
+
+    e = _with_norm(_emb(spark, sf_dir))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).alias("q")
+    a = e.filter(F.col("vec_id") != QUERY_VEC_ID).alias("a")
+    return (
+        a.crossJoin(F.broadcast(q))
+        .withColumn("cos_e4", F.round(_cos(F) * 1e4).cast("long"))
+        .select(F.col("a.vec_id").alias("vec_id"), "cos_e4")
+        .orderBy(F.desc("cos_e4"), F.asc("vec_id"))
+        .limit(K)
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+    WITH q AS (SELECT embedding FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID})
+    SELECT a.vec_id,
+           CAST(round(list_cosine_similarity(a.embedding, q.embedding)
+                      * 1e4) AS BIGINT) AS cos_e4
+    FROM embeddings a, q WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_e4 DESC, a.vec_id LIMIT {K}
+"""
+
+
+def _bucket_expr(F):
+    """Axis-sign LSH: bit i = sign(embedding[i]) for the first
+    LSH_BITS dimensions — deterministic random-hyperplane LSH with
+    basis-vector hyperplanes (no shared RNG needed across engines)."""
+    b = F.lit(0)
+    for i in range(LSH_BITS):
+        b = b + F.when(F.element_at("embedding", i + 1) >= 0,
+                       F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def ann_lsh_bucket_topk(spark, sf_dir):
+    """LSH-bucketed ANN: score only vectors sharing the query's bucket.
+    At scale this turns a full scan into a bucket-pruned scan
+    (parquet layout partitioned by bucket would prune at the file
+    level)."""
+    from pyspark.sql import functions as F
+
+    e = _with_norm(_emb(spark, sf_dir)).withColumn("bucket",
+                                                   _bucket_expr(F))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).alias("q")
+    a = e.filter(F.col("vec_id") != QUERY_VEC_ID).alias("a")
+    return (
+        a.crossJoin(F.broadcast(q))
+        .filter(F.col("a.bucket") == F.col("q.bucket"))
+        .withColumn("cos_e4", F.round(_cos(F) * 1e4).cast("long"))
+        .select(F.col("a.vec_id").alias("vec_id"), "cos_e4")
+        .orderBy(F.desc("cos_e4"), F.asc("vec_id"))
+        .limit(K)
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(LSH_BITS))
+
+ANN_LSH_BUCKET_TOPK_SQL = f"""
+    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket
+               FROM embeddings),
+    q AS (SELECT embedding, bucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+    SELECT a.vec_id,
+           CAST(round(list_cosine_similarity(a.embedding, q.embedding)
+                      * 1e4) AS BIGINT) AS cos_e4
+    FROM b a, q
+    WHERE a.vec_id <> {QUERY_VEC_ID} AND a.bucket = q.bucket
+    ORDER BY cos_e4 DESC, a.vec_id LIMIT {K}
+"""
+
+
+def ann_bucket_histogram(spark, sf_dir):
+    """Bucket occupancy histogram — the IVF/LSH planning statistic
+    (how selective is the prune)."""
+    from pyspark.sql import functions as F
+
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F))
+    return e.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
+ANN_BUCKET_HISTOGRAM_SQL = f"""
+    SELECT {_BUCKET_SQL} AS bucket, count(*) AS n_vecs
+    FROM embeddings GROUP BY 1
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "ann_lsh_bucket_topk": (ann_lsh_bucket_topk, ANN_LSH_BUCKET_TOPK_SQL),
+    "ann_bucket_histogram":
+        (ann_bucket_histogram, ANN_BUCKET_HISTOGRAM_SQL),
+}
