@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Three measurement groups:
+
+1. **Headline operator queries** from the SURVEY.md §2 catalog, run at
+   ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+   ``local[$SPARK_GRAFT_CPUS]`` — per-query seconds in ``queries``.
+2. **Engine end-to-end**: resumable inverted-index build over a
+   deterministic synthetic transcripts corpus (BASELINE.json
+   ``input_hint`` schema; driver-generated, no external data), then the
+   reference query set (FIXTURES.md) against the built index — build
+   turns/sec + query p50 latency.
+3. **Scaling evidence** (north_rule two-cluster-size criterion, sandbox
+   stand-in): the SAME build job on the SAME input in fresh processes
+   at ``local[8]`` and ``local[32]`` — throughput at both + scaling
+   efficiency = (T_8 / T_32) / 4.  Each child process warms the JVM
+   with a small build first (a real cluster's executors are long-lived
+   and JIT-warm; cold-JIT would randomize the comparison).
+
+Engine artifacts live on /dev/shm by default so the bench measures the
+engine, not the sandbox's shared virtio disk.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_CONVS
+(corpus size, default 100_000 conversations ≈ 960k turns),
+SPARK_GRAFT_SCALING=0 to skip group 3, SPARK_GRAFT_BENCH_DIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
+WARMUP_CONVS = 2000
+SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+WORKDIR = os.environ.get("SPARK_GRAFT_BENCH_DIR",
+                         "/dev/shm/spark_graft_bench")
+SCALING_LEVELS = (8, 32)
+
+HEADLINE = [
+    "fts_bm25_topk", "fts_bm25_filtered", "fts_conjunctive_and",
+    "join_entry_source_owner", "join_two_hop_distinct",
+    "agg_decayed_popularity", "rank_topk_by_field", "rank_moment_allocation",
+    "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk",
+    "text_quality_score",
+]
+
+
+def make_session(n_cpus: int, app: str):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{n_cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(n_cpus))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+# --------------------------------------------------------------------------
+# child mode: timed engine build (+ queries) in a fresh process
+# --------------------------------------------------------------------------
+
+def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
+                 out_path: str, with_queries: bool) -> None:
+    from moera_search_spark.build import build_index
+    from moera_search_spark.fixtures import reference_query_set
+    from moera_search_spark.query import FTSIndex
+
+    spark = make_session(n_cpus, f"engine-bench-{n_cpus}")
+    scratch = os.path.join(WORKDIR, f"child_{n_cpus}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+
+    # JIT/worker warmup (untimed)
+    build_index(spark, spark.read.parquet(warmup_path),
+                os.path.join(scratch, "warmup_idx"), n_buckets=16)
+
+    tr = spark.read.parquet(transcripts_path)
+    idx_dir = os.path.join(scratch, "idx")
+    t0 = time.time()
+    res = build_index(spark, tr, idx_dir, n_buckets=max(2 * n_cpus, 64))
+    build_sec = time.time() - t0
+
+    out = {"cpus": n_cpus, "n_docs": res["n_docs"],
+           "build_sec": round(build_sec, 2),
+           "turns_per_sec": round(res["n_docs"] / build_sec, 1)}
+
+    if with_queries:
+        idx = FTSIndex(spark, idx_dir)
+        qset = reference_query_set()
+        # warm the query path once (python workers, parquet footers)
+        idx.search(qset[0]["query_text"], k=10).collect()
+        for method in ("exhaustive", "pruned"):
+            lat = []
+            for q in qset:
+                best = None
+                for _attempt in range(2):   # 2nd run = warm latency
+                    t0 = time.time()
+                    idx.search(q["query_text"], k=q["k"],
+                               filters=q["filters"],
+                               method=method).collect()
+                    best = time.time() - t0
+                lat.append(best)
+            out[f"p50_{method}_sec"] = round(statistics.median(lat), 3)
+            out[f"p95_{method}_sec"] = round(
+                sorted(lat)[int(0.95 * (len(lat) - 1))], 3)
+    spark.stop()
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+
+
+# --------------------------------------------------------------------------
+# parent mode
+# --------------------------------------------------------------------------
+
+def run_headline(queries_out: dict) -> float:
+    import __spark_entry__ as entrymod
+
+    spark = make_session(CPUS, "headline-bench")
+    qs = entrymod.queries()
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.time() - t0
+        queries_out[name] = round(dt, 3)
+        total += dt
+        del n
+    spark.stop()
+    return total
+
+
+def materialize_corpus() -> tuple[str, str]:
+    from moera_search_spark.fixtures import transcripts_df
+
+    corpus = os.path.join(WORKDIR, f"transcripts_{N_CONVS}")
+    warmup = os.path.join(WORKDIR, f"transcripts_{WARMUP_CONVS}")
+    if os.path.exists(os.path.join(corpus, "_SUCCESS")) and \
+            os.path.exists(os.path.join(warmup, "_SUCCESS")):
+        return corpus, warmup
+    spark = make_session(CPUS, "corpus-gen")
+    transcripts_df(spark, N_CONVS).write.mode("overwrite").parquet(corpus)
+    transcripts_df(spark, WARMUP_CONVS).write.mode("overwrite") \
+        .parquet(warmup)
+    spark.stop()
+    return corpus, warmup
+
+
+def spawn_child(n_cpus: int, corpus: str, warmup: str,
+                with_queries: bool) -> dict:
+    out_path = os.path.join(WORKDIR, f"child_{n_cpus}.json")
+    if os.path.exists(out_path):
+        os.unlink(out_path)
+    cmd = [sys.executable, os.path.abspath(__file__), "--engine-child",
+           str(n_cpus), corpus, warmup, out_path,
+           "1" if with_queries else "0"]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(cmd, check=True, env=env, timeout=2400)
+    with open(out_path) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--engine-child":
+        engine_child(int(sys.argv[2]), sys.argv[3], sys.argv[4],
+                     sys.argv[5], sys.argv[6] == "1")
+        return
+
+    os.makedirs(WORKDIR, exist_ok=True)
+    t_start = time.time()
+    queries: dict = {}
+
+    headline_sec = run_headline(queries)
+
+    corpus, warmup = materialize_corpus()
+    engine: dict = {}
+    scaling: dict = {}
+    levels = SCALING_LEVELS if SCALING else (CPUS,)
+    for n_cpus in sorted(levels, reverse=True):
+        engine[f"local[{n_cpus}]"] = spawn_child(
+            n_cpus, corpus, warmup, with_queries=(n_cpus == max(levels)))
+
+    hi, lo = max(levels), min(levels)
+    hi_res = engine[f"local[{hi}]"]
+    queries["engine_build"] = hi_res["build_sec"]
+    queries["engine_query_p50_exhaustive"] = hi_res.get("p50_exhaustive_sec")
+    queries["engine_query_p50_pruned"] = hi_res.get("p50_pruned_sec")
+    if SCALING and hi != lo:
+        lo_res = engine[f"local[{lo}]"]
+        eff = (lo_res["build_sec"] / hi_res["build_sec"]) / (hi / lo)
+        scaling = {
+            "levels": [lo, hi],
+            "n_turns": hi_res["n_docs"],
+            f"throughput_local{lo}": lo_res["turns_per_sec"],
+            f"throughput_local{hi}": hi_res["turns_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+
+    result = {
+        "metric": "headline_ops+index_build+bm25_query_suite",
+        "value": round(time.time() - t_start, 1),
+        "unit": "sec",
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "queries": queries,
+        "headline_sec": round(headline_sec, 1),
+        "engine": engine,
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,8 +32,22 @@ conveniences):
   so the encoded index is invariant to partitioning/parallelism; the
   same input yields the same bytes at local[8] and local[32] (resume +
   scaling-efficiency comparisons are exact).
-* **Partial agg for stats** — df/N/avgdl are plain groupBy aggregates
-  (map-side partial combine; Catalyst handles two-phase agg).
+* **Partial agg for stats** — df is a plain groupBy aggregate
+  (map-side partial combine; Catalyst handles two-phase agg); N/avgdl
+  come free from the per-bucket staging counts (no extra scan).
+* **Minimum job count** — every Spark job on a 1000-executor cluster
+  pays scheduling + commit overhead, so the build is exactly five jobs:
+  boundary sampling, staging write, staging counts, term_stats,
+  docs write (map-only — staging is already bucket-range-partitioned
+  and sorted, so doc_ids need no shuffle), postings encode+write.
+  ``repartitionByRange`` is never used after staging because its
+  hidden sampling job re-executes upstream lineage (it would run the
+  Python encoder twice).
+* **Term-sharded postings layout** — postings are written
+  ``partitionBy(term_bucket)`` with ``term_bucket = crc32(term) %
+  n_term_buckets``: a query for T terms touches at most T directories
+  (partition pruning on a 100-TB index), while the build-side shuffle
+  key stays (term, chunk) so head terms still spread over all tasks.
 """
 
 from __future__ import annotations
@@ -57,12 +71,33 @@ STAGING_SCHEMA_DDL = (
 )
 
 POSTINGS_SCHEMA_DDL = (
-    "term string, first_doc_id long, last_doc_id long, n_docs int, "
-    "deltas binary, tfs binary, dls binary, max_tfnorm double"
+    "term string, term_bucket int, first_doc_id long, last_doc_id long, "
+    "n_docs int, deltas binary, tfs binary, dls binary, max_tfnorm double"
 )
+
+N_TERM_BUCKETS = 16
+
+
+def term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
+    """Stable term → directory shard (same fn at build and query time)."""
+    import zlib
+
+    return (zlib.crc32(term.encode("utf-8")) & 0xFFFFFFFF) % n_buckets
 
 DOCS_COLS = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl",
              "text"]
+
+
+def _single_parquet(index_dir: str, name: str) -> str:
+    """Path for a driver-written single-file parquet table (readable by
+    both ``spark.read.parquet`` and pandas); clears any directory left
+    by an older layout."""
+    import shutil
+
+    path = os.path.join(index_dir, name)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    return path
 
 
 def _bucket_expr(F, boundaries: list[str]):
@@ -76,31 +111,42 @@ def _bucket_expr(F, boundaries: list[str]):
     return F.size(F.filter(arr, lambda b: b <= F.col("conv_id"))) - 1
 
 
-def compute_boundaries(spark, df, n_buckets: int) -> list[str]:
-    """Range-bucket boundaries over distinct conv_ids.
+def compute_boundaries(spark, df, n_buckets: int,
+                       samples_per_batch: int = 64) -> list[str]:
+    """Range-bucket boundaries from a single bounded sampling pass.
 
-    Uses Spark's RangePartitioner sampling (one pass over distinct
-    conv_ids) and takes each range partition's min as the boundary.
-    Boundaries are persisted in the build config so resumes reuse them.
+    The RangePartitioner idea without its extra jobs: every Arrow batch
+    of every input partition contributes ≤ ``samples_per_batch``
+    evenly-spaced conv_ids (deterministic — no RNG), the driver sorts
+    the bounded sample and takes turn-weighted quantiles.  One Spark
+    job, O(partitions · samples_per_batch) driver memory; sampling rows
+    (not distinct conv_ids) weights boundaries by turns per
+    conversation, which balances bucket *row counts*, not just
+    conversation counts.  Boundaries are persisted in the build config
+    so resumes reuse them.
     """
-    from pyspark.sql import functions as F
+    import numpy as np
 
     if n_buckets <= 1:
         return [""]
-    parts = (
-        df.select("conv_id").distinct()
-        .repartitionByRange(n_buckets, "conv_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid").agg(F.min("conv_id").alias("lo"))
-        .orderBy("_pid")
-        .collect()
-    )
-    bounds = sorted({r["lo"] for r in parts if r["lo"] is not None})
-    if bounds:
-        bounds[0] = ""
-    else:
-        bounds = [""]
-    return bounds
+
+    def sampler(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            idx = np.linspace(0, len(pdf) - 1,
+                              min(samples_per_batch, len(pdf))).astype(int)
+            yield pdf.iloc[idx][["conv_id"]]
+
+    sample = sorted(
+        r["conv_id"]
+        for r in df.select("conv_id").mapInPandas(
+            sampler, "conv_id string").collect())
+    if not sample:
+        return [""]
+    qs = np.linspace(0, len(sample) - 1, n_buckets + 1).astype(int)[1:-1]
+    bounds = sorted({sample[i] for i in qs})
+    return [""] + [b for b in bounds if b > ""]
 
 
 def _staging_iter(mode: str):
@@ -114,6 +160,8 @@ def _staging_iter(mode: str):
 
     def fn(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[int, int] = {}
+        tf_counts: dict[int, int] = {}
+        dl_sums: dict[int, int] = {}
         stemmer = MemoStemmer()
         for pdf in pdf_iter:
             n = len(pdf)
@@ -144,6 +192,8 @@ def _staging_iter(mode: str):
                 doc_rows["ts"].append(ts)
                 doc_rows["text"].append(text)
                 doc_rows["dl"].append(dl)
+                dl_sums[bkt] = dl_sums.get(bkt, 0) + dl
+                tf_counts[bkt] = tf_counts.get(bkt, 0) + len(counts)
                 for term, tf in counts.items():
                     tf_rows["bucket"].append(bkt)
                     tf_rows["local_idx"].append(li)
@@ -163,11 +213,35 @@ def _staging_iter(mode: str):
             cols = ["bucket", "local_idx", "row_type", "conv_id", "turn_idx",
                     "role", "tool", "ts", "text", "term", "tf", "dl"]
             yield pd.concat([docs[cols], tfs[cols]], ignore_index=True)
+        # One 'bstat' summary row per bucket this task owned: exact doc /
+        # tf-row / dl totals, so the build never re-scans staging to
+        # count (the totals ride out through the same committed write).
+        if counters:
+            import json as _json
+
+            cols = ["bucket", "local_idx", "row_type", "conv_id", "turn_idx",
+                    "role", "tool", "ts", "text", "term", "tf", "dl"]
+            stat = pd.DataFrame({
+                "bucket": list(counters.keys()),
+                "local_idx": [0] * len(counters),
+                "row_type": "bstat",
+                "conv_id": None, "turn_idx": pd.array(
+                    [None] * len(counters), dtype="Int32"),
+                "role": None, "tool": None, "ts": pd.NaT,
+                "text": [_json.dumps(
+                    {"docs": counters[b], "tf_rows": tf_counts.get(b, 0),
+                     "dl_sum": dl_sums.get(b, 0)}) for b in counters],
+                "term": None,
+                "tf": pd.array([None] * len(counters), dtype="Int32"),
+                "dl": 0,
+            })
+            yield stat[cols]
 
     return fn
 
 
-def _encode_iter(avgdl: float, k1: float, b: float, block_size: int):
+def _encode_iter(avgdl: float, k1: float, b: float, block_size: int,
+                 n_term_buckets: int = N_TERM_BUCKETS):
     """mapInPandas body for posting-block encoding.
 
     Input sorted within partitions by (term, chunk, doc_id).  The last
@@ -177,17 +251,19 @@ def _encode_iter(avgdl: float, k1: float, b: float, block_size: int):
     import numpy as np
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = {c: [] for c in ("term", "first_doc_id", "last_doc_id",
-                               "n_docs", "deltas", "tfs", "dls",
-                               "max_tfnorm")}
+        out = {c: [] for c in ("term", "term_bucket", "first_doc_id",
+                               "last_doc_id", "n_docs", "deltas", "tfs",
+                               "dls", "max_tfnorm")}
         for (term, _chunk), g in pdf.groupby(["term", "chunk"], sort=False):
             rows = encode_term_run(
                 g["doc_id"].values.astype(np.int64),
                 g["tf"].values.astype(np.int64),
                 g["dl"].values.astype(np.int64),
                 avgdl, block_size=block_size, k1=k1, b=b)
+            tb = term_bucket(term, n_term_buckets)
             for (f, l, n, d, t, dl_, mx) in rows:
                 out["term"].append(term)
+                out["term_bucket"].append(tb)
                 out["first_doc_id"].append(f)
                 out["last_doc_id"].append(l)
                 out["n_docs"].append(n)
@@ -222,6 +298,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                 resume: bool = False, k1: float = K1, b: float = B,
                 block_size: int = BLOCK_SIZE, chunk_size: int = CHUNK_SIZE,
                 shuffle_partitions: int | None = None,
+                n_term_buckets: int = N_TERM_BUCKETS,
                 fail_after_groups: int | None = None) -> dict:
     """Build (or resume) the full index at ``index_dir``.
 
@@ -242,12 +319,14 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         boundaries = compute_boundaries(spark, transcripts, n_buckets)
         config = {"mode": mode, "n_buckets": len(boundaries), "k1": k1,
                   "b": b, "block_size": block_size, "chunk_size": chunk_size,
-                  "boundaries": boundaries}
+                  "n_term_buckets": n_term_buckets,
+                  "boundaries": boundaries, "bucket_stats": {}}
         mf.save_config(index_dir, config)
     boundaries = config["boundaries"]
     n_buckets = config["n_buckets"]
     mode, k1, b = config["mode"], config["k1"], config["b"]
     block_size, chunk_size = config["block_size"], config["chunk_size"]
+    n_term_buckets = config.get("n_term_buckets", N_TERM_BUCKETS)
 
     staging_path = os.path.join(index_dir, "staging")
     bucket_col = _bucket_expr(F, boundaries)
@@ -271,17 +350,41 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
             .sortWithinPartitions("bucket", "conv_id", "turn_idx")
         )
         staged = sub.mapInPandas(_staging_iter(mode), STAGING_SCHEMA_DDL)
-        (staged.write.mode("overwrite").partitionBy("bucket")
-         .parquet(staging_path))
-        counts = (
+        # Partitioned by (bucket, row_type): later stages read doc / tf
+        # rows via directory pruning, and the per-bucket 'bstat' summary
+        # rows (exact doc/tf/dl totals, emitted by the staging tasks
+        # themselves) come back without scanning any data.  A fresh
+        # full build commits in static mode (one whole-directory
+        # commit); per-partition dynamic overwrite is only needed when
+        # re-staging a subset of buckets on resume.
+        fresh_full = len(groups) == 1 and not done
+        writer = staged.write.mode("overwrite") \
+            .partitionBy("bucket", "row_type")
+        if fresh_full:
+            writer = writer.option("partitionOverwriteMode", "static")
+        writer.parquet(staging_path)
+        import json as _json
+
+        stat_rows = (
             spark.read.parquet(staging_path)
+            .filter(F.col("row_type") == "bstat")
             .filter(F.col("bucket").isin([int(x) for x in group]))
-            .groupBy("bucket", "row_type").count().collect()
+            .select("bucket", "text").collect()
         )
-        rows_in = {int(r["bucket"]): int(r["count"]) for r in counts
-                   if r["row_type"] == "doc"}
-        terms_out = {int(r["bucket"]): int(r["count"]) for r in counts
-                     if r["row_type"] == "tf"}
+        rows_in = {int(x): 0 for x in group}
+        terms_out = {int(x): 0 for x in group}
+        dl_sums = {int(x): 0 for x in group}
+        for r in stat_rows:
+            bkt = int(r["bucket"])
+            s = _json.loads(r["text"])
+            rows_in[bkt] = int(s["docs"])
+            terms_out[bkt] = int(s["tf_rows"])
+            dl_sums[bkt] = int(s["dl_sum"])
+        for bkt in group:
+            config["bucket_stats"][str(int(bkt))] = {
+                "docs": rows_in[int(bkt)], "tf_rows": terms_out[int(bkt)],
+                "dl_sum": dl_sums[int(bkt)]}
+        mf.save_config(index_dir, config)
         mf.mark(index_dir, "staging", group, "done", rows_in=rows_in,
                 terms_out=terms_out)
         mf.record_metrics(
@@ -294,64 +397,55 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     doc_rows = staging.filter(F.col("row_type") == "doc")
     tf_rows = staging.filter(F.col("row_type") == "tf")
 
-    # ---- stage 2: global stats (partial+final hash agg) ----
-    if -1 not in mf.done_partitions(index_dir, "stats"):
-        t0 = time.time()
-        stats = doc_rows.agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total_dl")).collect()[0]
-        corpus = spark.createDataFrame(
-            [(int(stats["n_docs"]), float(stats["avgdl"] or 0.0),
-              int(stats["total_dl"] or 0))],
-            "n_docs long, avgdl double, total_dl long")
-        corpus.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "corpus_stats"))
-        (tf_rows.groupBy("term").agg(F.count("*").alias("df"))
-         .repartitionByRange(shuffle_partitions, "term")
-         .sortWithinPartitions("term")
-         .write.mode("overwrite")
-         .parquet(os.path.join(index_dir, "term_stats")))
-        mf.mark(index_dir, "stats", [-1], "done")
-        mf.record_metrics(index_dir, run_id, "stats",
-                          [(-1, "seconds", time.time() - t0),
-                           (-1, "n_docs", float(stats["n_docs"]))])
+    # ---- stage 2: global stats ----
+    # N / avgdl / doc_id offsets come free from the per-bucket staging
+    # counts persisted in the build config — no extra scan of staging.
+    # Only term df needs its own (partial+final hash agg) job.
+    bstats = config["bucket_stats"]
+    n_docs = sum(bstats[str(b_)]["docs"] for b_ in range(n_buckets)
+                 if str(b_) in bstats)
+    total_dl = sum(bstats[str(b_)]["dl_sum"] for b_ in range(n_buckets)
+                   if str(b_) in bstats)
+    avgdl = (total_dl / n_docs) if n_docs else 0.0
 
-    corpus = spark.read.parquet(
-        os.path.join(index_dir, "corpus_stats")).collect()[0]
-    avgdl = float(corpus["avgdl"])
-
-    # ---- stage 3: global doc_id assignment (bucket offsets) ----
-    if "offsets" not in config:
-        counts = {r["bucket"]: r["cnt"] for r in
-                  doc_rows.groupBy("bucket")
-                  .agg(F.count("*").alias("cnt")).collect()}
-        offsets, acc = {}, 0
-        for bkt in range(n_buckets):
-            offsets[str(bkt)] = acc
-            acc += int(counts.get(bkt, 0))
-        config["offsets"] = offsets
-        mf.save_config(index_dir, config)
-    offsets = {int(k): int(v) for k, v in config["offsets"].items()}
+    # ---- stage 3 prep: global doc_id assignment (offsets from stats) ----
+    offsets, acc = {}, 0
+    for bkt in range(n_buckets):
+        offsets[bkt] = acc
+        acc += int(bstats.get(str(bkt), {}).get("docs", 0))
     off_map = F.create_map(
         *[x for bkt, off in offsets.items()
           for x in (F.lit(bkt), F.lit(off))])
     doc_id_col = (off_map[F.col("bucket")] + F.col("local_idx")) \
         .alias("doc_id")
 
-    if -1 not in mf.done_partitions(index_dir, "docs"):
-        t0 = time.time()
+    # ---- stages 2-4: stats / docs / postings ----
+    # The three output jobs depend only on staging, not on each other,
+    # so they are submitted CONCURRENTLY (ThreadPoolExecutor → separate
+    # Spark jobs sharing the executor pool).  On a big cluster this
+    # keeps slots busy across the jobs' scheduling/commit gaps; same
+    # effect in local mode.  Manifest marks happen in the main thread
+    # (the manifest file is a read-modify-write).
+    def _job_stats():
+        pd.DataFrame([{"n_docs": n_docs, "avgdl": avgdl,
+                       "total_dl": total_dl}]).to_parquet(
+            _single_parquet(index_dir, "corpus_stats"), index=False)
+        (tf_rows.groupBy("term").agg(F.count("*").alias("df"))
+         .sortWithinPartitions("term")
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_dir, "term_stats")))
+
+    def _job_docs():
+        # Map-only write: staging is bucket-partitioned and sorted by
+        # (conv_id, turn_idx), so doc_id = offset + local_idx is already
+        # monotone within every output file — file-level min-max on
+        # doc_id stays disjoint across buckets with zero shuffle.
         (doc_rows.select(doc_id_col, "conv_id", "turn_idx", "role", "tool",
                          "ts", "dl", "text")
-         .repartitionByRange(shuffle_partitions, "doc_id")
-         .sortWithinPartitions("doc_id")
          .write.mode("overwrite").parquet(os.path.join(index_dir, "docs")))
-        mf.mark(index_dir, "docs", [-1], "done")
-        mf.record_metrics(index_dir, run_id, "docs",
-                          [(-1, "seconds", time.time() - t0)])
 
-    # ---- stage 4: posting-block encoding (skew-proof by chunking) ----
-    if -1 not in mf.done_partitions(index_dir, "postings"):
-        t0 = time.time()
+    def _job_postings():
+        # Posting-block encoding, skew-proof by (term, chunk) grouping.
         tf_with_id = tf_rows.select(
             doc_id_col, "term", "tf", "dl"
         ).withColumn("chunk", (F.col("doc_id") / chunk_size)
@@ -360,22 +454,38 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
             tf_with_id
             .repartition(shuffle_partitions, "term", "chunk")
             .sortWithinPartitions("term", "chunk", "doc_id")
-            .mapInPandas(_encode_iter(avgdl, k1, b, block_size),
-                         POSTINGS_SCHEMA_DDL)
+            .mapInPandas(
+                _encode_iter(avgdl, k1, b, block_size, n_term_buckets),
+                POSTINGS_SCHEMA_DDL)
         )
-        # final layout: range-partitioned + sorted by term so query-time
-        # term lookups prune files/row-groups via parquet min-max stats
-        (encoded.repartitionByRange(shuffle_partitions, "term",
-                                    "first_doc_id")
-         .sortWithinPartitions("term", "first_doc_id")
-         .write.mode("overwrite")
+        # final layout: term-sharded directories (partition pruning for
+        # query-time term lookups) with term-sorted row groups inside
+        # each task's files; one shuffle total, blocks deterministic
+        # because the shuffle key (term, chunk) fixes group membership
+        # regardless of parallelism.
+        (encoded.write.mode("overwrite").partitionBy("term_bucket")
          .parquet(os.path.join(index_dir, "postings")))
-        mf.mark(index_dir, "postings", [-1], "done")
-        mf.record_metrics(index_dir, run_id, "postings",
-                          [(-1, "seconds", time.time() - t0)])
+
+    jobs = [(stage, fn) for stage, fn in
+            (("stats", _job_stats), ("docs", _job_docs),
+             ("postings", _job_postings))
+            if -1 not in mf.done_partitions(index_dir, stage)]
+    if jobs:
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            futures = [(stage, ex.submit(fn)) for stage, fn in jobs]
+            for stage, fut in futures:
+                fut.result()
+                mf.mark(index_dir, stage, [-1], "done")
+                mf.record_metrics(
+                    index_dir, run_id, stage,
+                    [(-1, "seconds", time.time() - t0)]
+                    + ([(-1, "n_docs", float(n_docs))]
+                       if stage == "stats" else []))
 
     total = time.time() - t_start
-    n_docs = int(corpus["n_docs"])
     mf.record_metrics(index_dir, run_id, "build",
                       [(-1, "seconds", total),
                        (-1, "docs_per_sec", n_docs / max(total, 1e-9))])

@@ -95,8 +95,9 @@ class FTSIndex:
         self.k1 = float(config["k1"])
         self.b = float(config["b"])
         self.chunk_size = int(config["chunk_size"])
-        corpus = spark.read.parquet(
-            os.path.join(index_dir, "corpus_stats")).collect()[0]
+        self.n_term_buckets = int(config.get("n_term_buckets", 16))
+        corpus = pd.read_parquet(
+            os.path.join(index_dir, "corpus_stats")).iloc[0]
         self.n_docs = int(corpus["n_docs"])
         self.avgdl = float(corpus["avgdl"])
 
@@ -120,15 +121,38 @@ class FTSIndex:
         return sorted(set(analyze(query_text, mode=self.mode)))
 
     def idf_map(self, q_terms: list[str]) -> dict[str, float]:
-        """df lookup for the (tiny) query term set → Lucene idf."""
-        from pyspark.sql import functions as F
+        """df lookup for the (tiny) query term set → Lucene idf.
 
+        Driver-side pyarrow predicate read: term_stats files are
+        term-sorted within partitions, so the row-group min-max stats
+        skip everything but the groups containing the query terms — no
+        Spark job for a point lookup (the analogue of the reference's
+        in-process term-dictionary access inside Lucene)."""
         if not q_terms:
             return {}
-        rows = (self.term_stats
-                .filter(F.col("term").isin(q_terms))
-                .collect())
-        return {r["term"]: bm25_idf(self.n_docs, int(r["df"])) for r in rows}
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(os.path.join(self.index_dir, "term_stats"))
+        tbl = dset.to_table(filter=pads.field("term").isin(q_terms),
+                            columns=["term", "df"])
+        return {t: bm25_idf(self.n_docs, int(d))
+                for t, d in zip(tbl["term"].to_pylist(),
+                                tbl["df"].to_pylist())}
+
+    def _postings_for(self, matched: list[str]):
+        """Posting rows for the query terms: the term_bucket predicate
+        prunes whole directory shards (partition pruning — a T-term
+        query touches ≤ T of the index's term_bucket dirs), then the
+        term predicate pushes into parquet row-group min-max stats."""
+        from pyspark.sql import functions as F
+
+        from .build import term_bucket
+
+        buckets = sorted({term_bucket(t, self.n_term_buckets)
+                          for t in matched})
+        return (self.postings
+                .filter(F.col("term_bucket").isin(buckets))
+                .filter(F.col("term").isin(matched)))
 
     def _filter_pred(self, filters: dict | None):
         from pyspark.sql import functions as F
@@ -181,7 +205,7 @@ class FTSIndex:
         if not matched:
             result = empty
         else:
-            postings_sel = self.postings.filter(F.col("term").isin(matched))
+            postings_sel = self._postings_for(matched)
             if method == "exhaustive":
                 scored = self._score(postings_sel, idf, filters)
             elif method == "pruned":
@@ -240,6 +264,5 @@ class FTSIndex:
         matched = [t for t in q_terms if t in idf]
         if not matched:
             return 0
-        postings_sel = self.postings.filter(F.col("term").isin(matched))
-        scored = self._score(postings_sel, idf, filters)
+        scored = self._score(self._postings_for(matched), idf, filters)
         return scored.count()
