@@ -299,6 +299,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                 block_size: int = BLOCK_SIZE, chunk_size: int = CHUNK_SIZE,
                 shuffle_partitions: int | None = None,
                 n_term_buckets: int = N_TERM_BUCKETS,
+                doc_id_offset: int = 0,
                 fail_after_groups: int | None = None) -> dict:
     """Build (or resume) the full index at ``index_dir``.
 
@@ -320,6 +321,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         config = {"mode": mode, "n_buckets": len(boundaries), "k1": k1,
                   "b": b, "block_size": block_size, "chunk_size": chunk_size,
                   "n_term_buckets": n_term_buckets,
+                  "doc_id_offset": doc_id_offset,
                   "boundaries": boundaries, "bucket_stats": {}}
         mf.save_config(index_dir, config)
     boundaries = config["boundaries"]
@@ -327,6 +329,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     mode, k1, b = config["mode"], config["k1"], config["b"]
     block_size, chunk_size = config["block_size"], config["chunk_size"]
     n_term_buckets = config.get("n_term_buckets", N_TERM_BUCKETS)
+    doc_id_offset = int(config.get("doc_id_offset", 0))
 
     staging_path = os.path.join(index_dir, "staging")
     bucket_col = _bucket_expr(F, boundaries)
@@ -409,7 +412,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     avgdl = (total_dl / n_docs) if n_docs else 0.0
 
     # ---- stage 3 prep: global doc_id assignment (offsets from stats) ----
-    offsets, acc = {}, 0
+    offsets, acc = {}, doc_id_offset
     for bkt in range(n_buckets):
         offsets[bkt] = acc
         acc += int(bstats.get(str(bkt), {}).get("docs", 0))
@@ -486,8 +489,17 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                        if stage == "stats" else []))
 
     total = time.time() - t_start
+    # Bookkeeping for incremental maintenance (see incremental.py):
+    # where the next delta segment's doc_ids start, and the smallest
+    # avgdl any live posting blocks were encoded with (block-max bound
+    # correction stays admissible as the corpus avgdl drifts).
+    config["next_doc_id"] = doc_id_offset + n_docs
+    prev_min = config.get("min_encode_avgdl")
+    config["min_encode_avgdl"] = (
+        avgdl if prev_min is None else min(float(prev_min), avgdl))
+    mf.save_config(index_dir, config)
     mf.record_metrics(index_dir, run_id, "build",
                       [(-1, "seconds", total),
                        (-1, "docs_per_sec", n_docs / max(total, 1e-9))])
     return {"run_id": run_id, "index_dir": index_dir, "n_docs": n_docs,
-            "avgdl": avgdl, "seconds": total}
+            "avgdl": avgdl, "total_dl": total_dl, "seconds": total}

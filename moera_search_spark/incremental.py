@@ -1,0 +1,253 @@
+"""Incremental index maintenance — delta segments, tombstones, compaction.
+
+The Spark restatement of the reference's online-update machinery:
+
+* the persistent update queue dispatches typed posting/comment add /
+  update / delete operations into the index (reference:
+  scanner/UpdateQueue.java:53-137; rest/notification/processor/
+  SearchProcessor.java:59-117),
+* ``Index.index`` inserts, ``Index.update`` patches,
+  ``Index.delete``/``deleteBulk`` remove documents (reference:
+  index/Index.java:131-158,191-224),
+* re-ingest of an unchanged revision is skipped (revision dedup,
+  reference: scanner/ingest/PostingIngest.java:140-146,177-184).
+
+Underneath the reference, OpenSearch/Lucene implements those
+operations as **append-only segments plus a deleted-docs bitmap**,
+merged later.  This module mirrors that model explicitly, because it
+is also the right shape for a 100-TB Spark index (append new parquet
+files; never rewrite the big tables in place):
+
+* ``apply_updates``  — one delta batch: revision-dedup'd upserts
+  become a new *segment* (a mini index build with doc_ids continuing
+  after ``next_doc_id``, reusing the checkpoint-resumable build
+  machinery) whose parquet files are adopted into the same
+  postings / docs / term_stats directories; replaced and deleted
+  doc_ids are appended to a ``_tombstones`` table (the live-docs
+  bitmap analogue).  Batches are identified by ``batch_id`` and
+  exactly-once: re-applying a recorded batch is a no-op (the
+  queue-dedup analogue).
+* ``compact``        — full rebuild from live docs (the segment-merge
+  analogue): re-densifies doc_ids, drops tombstones, restores df
+  exactness.
+
+Scoring semantics under deltas (documented contract, Lucene-faithful):
+
+* ``N`` and ``avgdl`` are **live** (tombstoned docs excluded) —
+  updated exactly on every batch from per-segment totals;
+* ``df`` is the **sum over segments** and is *not* decremented by
+  tombstones until ``compact`` — exactly as Lucene keeps postings of
+  deleted docs until merge;
+* tombstoned docs can never appear in results (anti-joined out before
+  top-k);
+* block-max bounds stay admissible as avgdl drifts: every segment's
+  blocks were encoded with that segment's avgdl; since tfnorm is
+  increasing in avgdl, bounds are scaled at query time by
+  ``max(1, avgdl_now / min_encode_avgdl)`` (see FTSIndex).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from . import manifest as mf
+from .build import build_index
+
+KEYS = ["conv_id", "turn_idx"]
+CONTENT_COLS = ["role", "tool", "ts", "text"]
+TOMBSTONES = "_tombstones"
+
+
+def _tombstones_df(spark, index_dir: str):
+    """Tombstoned doc_ids as a DataFrame, or None when there are none."""
+    path = os.path.join(index_dir, TOMBSTONES)
+    if not os.path.isdir(path) or not any(
+            f.endswith(".parquet") for f in os.listdir(path)):
+        return None
+    return spark.read.parquet(path).select("doc_id")
+
+
+def _adopt_segment_files(seg_dir: str, index_dir: str, batch_id: str,
+                         subdirs: tuple[str, ...] = ("docs", "term_stats",
+                                                     "postings")) -> None:
+    """Move a finished segment's parquet files into the main index
+    directories (append-only adoption; names prefixed with the batch id
+    so segments never collide).  On object storage this is the same
+    cheap metadata operation Iceberg's append commit performs."""
+    for sub in subdirs:
+        src_root = os.path.join(seg_dir, sub)
+        dst_root = os.path.join(index_dir, sub)
+        for root, _dirs, files in os.walk(src_root):
+            rel = os.path.relpath(root, src_root)
+            dst = dst_root if rel == "." else os.path.join(dst_root, rel)
+            os.makedirs(dst, exist_ok=True)
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                os.replace(os.path.join(root, f),
+                           os.path.join(dst, f"seg-{batch_id}-{f}"))
+
+
+def _write_corpus_stats(index_dir: str, n_docs: int, total_dl: int) -> None:
+    import pandas as pd
+
+    from .build import _single_parquet
+
+    avgdl = (total_dl / n_docs) if n_docs else 0.0
+    pd.DataFrame([{"n_docs": n_docs, "avgdl": avgdl,
+                   "total_dl": total_dl}]).to_parquet(
+        _single_parquet(index_dir, "corpus_stats"), index=False)
+
+
+def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
+                  batch_id: str, skip_unchanged: bool = True,
+                  n_buckets: int = 8) -> dict:
+    """Apply one delta batch to a built index.
+
+    ``upserts``: DataFrame in the transcripts schema (conv_id,
+    turn_idx, role, text, tool, ts) — new turns and new revisions of
+    existing turns.  Unchanged revisions are skipped when
+    ``skip_unchanged`` (the reference's revision dedup).
+    ``deletes``: DataFrame with (conv_id, turn_idx) keys to remove.
+    Returns batch stats; a no-op (with ``"skipped": True``) when
+    ``batch_id`` was already applied.
+    """
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    config = mf.load_config(index_dir)
+    if config is None:
+        raise FileNotFoundError(f"no build config at {index_dir}")
+    applied = {b["batch_id"] for b in config.get("delta_batches", [])}
+    if batch_id in applied:
+        return {"batch_id": batch_id, "skipped": True}
+
+    import pandas as pd
+
+    corpus = pd.read_parquet(
+        os.path.join(index_dir, "corpus_stats")).iloc[0]
+    n_live, total_dl = int(corpus["n_docs"]), int(corpus["total_dl"])
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    tomb = _tombstones_df(spark, index_dir)
+    live = docs if tomb is None else docs.join(tomb, "doc_id", "left_anti")
+
+    # -- resolve which live docs this batch replaces or deletes --------
+    doomed_parts = []
+    if deletes is not None:
+        doomed_parts.append(
+            live.join(F.broadcast(deletes.select(*KEYS).distinct()),
+                      KEYS, "left_semi").select("doc_id", "dl"))
+
+    changed = None
+    if upserts is not None:
+        cur = live.join(F.broadcast(upserts.select(*KEYS).distinct()),
+                        KEYS, "left_semi") \
+            .select("doc_id", "dl", *KEYS, *CONTENT_COLS)
+        cmp = upserts.alias("u").join(
+            F.broadcast(cur.alias("c")), KEYS, "left")
+        same = (F.col("c.doc_id").isNotNull()
+                & F.col("u.role").eqNullSafe(F.col("c.role"))
+                & F.col("u.tool").eqNullSafe(F.col("c.tool"))
+                & F.col("u.ts").eqNullSafe(F.col("c.ts"))
+                & F.col("u.text").eqNullSafe(F.col("c.text")))
+        keep_pred = ~same if skip_unchanged else F.lit(True)
+        changed = cmp.where(keep_pred).select("u.*")
+        # old revisions of changed keys get tombstoned
+        doomed_parts.append(
+            cmp.where(F.col("c.doc_id").isNotNull() & keep_pred)
+            .select(F.col("c.doc_id").alias("doc_id"),
+                    F.col("c.dl").alias("dl")))
+
+    n_doomed, dl_doomed = 0, 0
+    if doomed_parts:
+        doomed = doomed_parts[0]
+        for p in doomed_parts[1:]:
+            doomed = doomed.unionByName(p)
+        doomed = doomed.dropDuplicates(["doc_id"])
+        agg = doomed.agg(F.count("*").alias("n"),
+                         F.sum("dl").alias("dl")).collect()[0]
+        n_doomed, dl_doomed = int(agg["n"]), int(agg["dl"] or 0)
+        if n_doomed:
+            (doomed.select("doc_id").write.mode("append")
+             .parquet(os.path.join(index_dir, TOMBSTONES)))
+
+    # -- build the delta segment (a mini index with offset doc_ids) ----
+    next_id = int(config.get("next_doc_id", n_live))
+    seg_docs = seg_dl = 0
+    seg_avgdl = None
+    if changed is not None and changed.count() == 0:
+        changed = None   # everything dedup'd away — no segment
+    if changed is not None:
+        seg_dir = os.path.join(index_dir, f"_seg_{batch_id}")
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        res = build_index(
+            spark, changed, seg_dir, mode=config["mode"],
+            n_buckets=n_buckets, k1=config["k1"], b=config["b"],
+            block_size=config["block_size"],
+            chunk_size=config["chunk_size"],
+            n_term_buckets=config.get("n_term_buckets", 16),
+            doc_id_offset=next_id)
+        seg_docs, seg_avgdl = res["n_docs"], res["avgdl"]
+        seg_dl = int(res["total_dl"])
+        if seg_docs:
+            _adopt_segment_files(seg_dir, index_dir, batch_id)
+        shutil.rmtree(seg_dir, ignore_errors=True)
+
+    # -- stats + lineage ----------------------------------------------
+    _write_corpus_stats(index_dir, n_live - n_doomed + seg_docs,
+                        total_dl - dl_doomed + seg_dl)
+    config = mf.load_config(index_dir)   # fresh copy before mutating
+    config.setdefault("delta_batches", []).append({
+        "batch_id": batch_id, "upserts_indexed": seg_docs,
+        "tombstoned": n_doomed,
+        "first_doc_id": next_id if seg_docs else None})
+    config["next_doc_id"] = next_id + seg_docs
+    if seg_docs and seg_avgdl:
+        prev = config.get("min_encode_avgdl")
+        config["min_encode_avgdl"] = (
+            seg_avgdl if prev is None else min(float(prev), seg_avgdl))
+    mf.save_config(index_dir, config)
+    mf.mark(index_dir, f"delta_{batch_id}", [-1], "done",
+            rows_in={-1: seg_docs}, terms_out={-1: n_doomed})
+    mf.record_metrics(index_dir, f"delta_{batch_id}", "delta",
+                      [(-1, "seconds", time.time() - t0),
+                       (-1, "docs_indexed", seg_docs),
+                       (-1, "tombstoned", n_doomed)])
+    return {"batch_id": batch_id, "skipped": False,
+            "docs_indexed": seg_docs, "tombstoned": n_doomed,
+            "seconds": time.time() - t0}
+
+
+def compact(spark, index_dir: str, *, n_buckets: int = 32) -> dict:
+    """Segment merge: rebuild the index from live docs only.
+
+    Drops tombstones, re-densifies doc_ids under stable
+    (conv_id, turn_idx) order, and restores exact df — the analogue of
+    a Lucene forced merge.  The rebuilt index is bit-compatible with a
+    fresh ``build_index`` over the live corpus."""
+    t0 = time.time()
+    config = mf.load_config(index_dir)
+    if config is None:
+        raise FileNotFoundError(f"no build config at {index_dir}")
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    tomb = _tombstones_df(spark, index_dir)
+    live = docs if tomb is None else docs.join(tomb, "doc_id", "left_anti")
+    transcripts = live.select(*KEYS, *CONTENT_COLS)
+
+    tmp = index_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    res = build_index(
+        spark, transcripts, tmp, mode=config["mode"], n_buckets=n_buckets,
+        k1=config["k1"], b=config["b"], block_size=config["block_size"],
+        chunk_size=config["chunk_size"],
+        n_term_buckets=config.get("n_term_buckets", 16))
+    old = index_dir.rstrip("/") + ".precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(index_dir, old)
+    os.replace(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"n_docs": res["n_docs"], "seconds": time.time() - t0}

@@ -115,6 +115,21 @@ class FTSIndex:
         return self.spark.read.parquet(
             os.path.join(self.index_dir, "term_stats"))
 
+    @property
+    def tombstones(self):
+        """Tombstoned doc_ids (None when the index has no deletes)."""
+        from .incremental import _tombstones_df
+
+        return _tombstones_df(self.spark, self.index_dir)
+
+    @property
+    def live_docs(self):
+        """Docs minus tombstones — the user-visible document set (the
+        per-turn row-invariant view after updates)."""
+        tomb = self.tombstones
+        return self.docs if tomb is None else \
+            self.docs.join(tomb, "doc_id", "left_anti")
+
     # -- query pieces -------------------------------------------------
 
     def query_terms(self, query_text: str) -> list[str]:
@@ -135,9 +150,13 @@ class FTSIndex:
         dset = pads.dataset(os.path.join(self.index_dir, "term_stats"))
         tbl = dset.to_table(filter=pads.field("term").isin(q_terms),
                             columns=["term", "df"])
-        return {t: bm25_idf(self.n_docs, int(d))
-                for t, d in zip(tbl["term"].to_pylist(),
-                                tbl["df"].to_pylist())}
+        # df is summed across rows: delta segments append their own
+        # (term, df) rows (incremental.py), and — like Lucene before a
+        # merge — df is not decremented for tombstoned docs.
+        dfs: dict[str, int] = {}
+        for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+            dfs[t] = dfs.get(t, 0) + int(d)
+        return {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
 
     def _postings_for(self, matched: list[str]):
         """Posting rows for the query terms: the term_bucket predicate
@@ -183,6 +202,11 @@ class FTSIndex:
                 F.lit(0.0),
                 lambda acc, x: acc + x["contrib"],
             ).alias("score"))
+        tomb = self.tombstones
+        if tomb is not None:
+            # live-docs mask: tombstoned (replaced/deleted) docs still
+            # have postings until compaction, but can never surface
+            scored = scored.join(tomb, "doc_id", "left_anti")
         pred = self._filter_pred(filters)
         if pred is not None:
             allowed = self.docs.filter(pred).select("doc_id")
@@ -228,11 +252,18 @@ class FTSIndex:
 
         idf_expr = F.create_map(
             *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))])
+        # Admissibility under incremental updates: stored max_tfnorm was
+        # computed with the encoding segment's avgdl; tfnorm is
+        # increasing in avgdl, so scaling by avgdl_now/min_encode_avgdl
+        # (when > 1) keeps every bound a true upper bound.
+        min_enc = float(self.config.get("min_encode_avgdl", self.avgdl)
+                        or self.avgdl)
+        factor = max(1.0, self.avgdl / min_enc) if min_enc > 0 else 1.0
         cand = (postings_sel
                 .withColumn("chunk", (F.col("first_doc_id")
                                       / self.chunk_size).cast("long"))
                 .withColumn("ub", idf_expr[F.col("term")]
-                            * F.col("max_tfnorm")))
+                            * F.col("max_tfnorm") * F.lit(factor)))
         bounds = (cand.groupBy("chunk", "term")
                   .agg(F.max("ub").alias("tub"))
                   .groupBy("chunk").agg(F.sum("tub").alias("bound")))
