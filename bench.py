@@ -69,6 +69,7 @@ def make_session(n_cpus: int, app: str):
         .config("spark.sql.shuffle.partitions", str(n_cpus))
         .config("spark.driver.memory", "24g")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

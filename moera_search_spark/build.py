@@ -159,59 +159,73 @@ def _staging_iter(mode: str):
     """
 
     def fn(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from itertools import chain
+
+        import numpy as np
+
         counters: dict[int, int] = {}
         tf_counts: dict[int, int] = {}
         dl_sums: dict[int, int] = {}
         stemmer = MemoStemmer()
+        cols = ["bucket", "local_idx", "row_type", "conv_id", "turn_idx",
+                "role", "tool", "ts", "text", "term", "tf", "dl"]
         for pdf in pdf_iter:
             n = len(pdf)
             if n == 0:
                 continue
-            doc_rows = {c: [] for c in ("bucket", "local_idx", "conv_id",
-                                        "turn_idx", "role", "tool", "ts",
-                                        "text", "dl")}
-            tf_rows = {c: [] for c in ("bucket", "local_idx", "term", "tf",
-                                       "dl")}
-            for bkt, conv, turn, role, tool, ts, text in zip(
-                pdf["bucket"].values, pdf["conv_id"].values,
-                pdf["turn_idx"].values, pdf["role"].values,
-                pdf["tool"].values, pdf["ts"].values, pdf["text"].values,
-            ):
-                bkt = int(bkt)
-                li = counters.get(bkt, 0)
-                counters[bkt] = li + 1
-                counts = doc_terms_tf(text if isinstance(text, str) else None,
-                                      mode=mode, _stemmer=stemmer)
-                dl = sum(counts.values())
-                doc_rows["bucket"].append(bkt)
-                doc_rows["local_idx"].append(li)
-                doc_rows["conv_id"].append(conv)
-                doc_rows["turn_idx"].append(int(turn))
-                doc_rows["role"].append(role)
-                doc_rows["tool"].append(tool)
-                doc_rows["ts"].append(ts)
-                doc_rows["text"].append(text)
-                doc_rows["dl"].append(dl)
-                dl_sums[bkt] = dl_sums.get(bkt, 0) + dl
-                tf_counts[bkt] = tf_counts.get(bkt, 0) + len(counts)
-                for term, tf in counts.items():
-                    tf_rows["bucket"].append(bkt)
-                    tf_rows["local_idx"].append(li)
-                    tf_rows["term"].append(term)
-                    tf_rows["tf"].append(tf)
-                    tf_rows["dl"].append(dl)
-            docs = pd.DataFrame(doc_rows)
-            docs["row_type"] = "doc"
-            docs["term"] = None
-            docs["tf"] = pd.array([None] * len(docs), dtype="Int32")
-            tfs = pd.DataFrame(tf_rows)
-            tfs["row_type"] = "tf"
-            for c in ("conv_id", "role", "tool", "text"):
-                tfs[c] = None
-            tfs["turn_idx"] = pd.array([None] * len(tfs), dtype="Int32")
-            tfs["ts"] = pd.NaT
-            cols = ["bucket", "local_idx", "row_type", "conv_id", "turn_idx",
-                    "role", "tool", "ts", "text", "term", "tf", "dl"]
+            buckets = pdf["bucket"].values.astype(np.int64)
+            texts = pdf["text"].values
+            counts_list = [
+                doc_terms_tf(t if isinstance(t, str) else None,
+                             mode=mode, _stemmer=stemmer)
+                for t in texts
+            ]
+            n_terms = np.fromiter((len(c) for c in counts_list),
+                                  np.int64, count=n)
+            dl_arr = np.fromiter((sum(c.values()) for c in counts_list),
+                                 np.int64, count=n)
+            # per-bucket local indices: input is sorted by bucket, so
+            # buckets form contiguous segments; counters persist across
+            # Arrow batches (a bucket may span batches, never tasks)
+            local_idx = np.empty(n, np.int64)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            np.not_equal(buckets[1:], buckets[:-1], out=change[1:])
+            seg_starts = np.flatnonzero(change)
+            seg_ends = np.append(seg_starts[1:], n)
+            for s, e in zip(seg_starts, seg_ends):
+                bkt = int(buckets[s])
+                base = counters.get(bkt, 0)
+                local_idx[s:e] = np.arange(base, base + (e - s))
+                counters[bkt] = int(base + (e - s))
+                dl_sums[bkt] = dl_sums.get(bkt, 0) + int(dl_arr[s:e].sum())
+                tf_counts[bkt] = tf_counts.get(bkt, 0) \
+                    + int(n_terms[s:e].sum())
+            docs = pd.DataFrame({
+                "bucket": buckets, "local_idx": local_idx,
+                "row_type": "doc",
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "role": pdf["role"].values, "tool": pdf["tool"].values,
+                "ts": pdf["ts"].values, "text": texts,
+                "term": None,
+                "tf": pd.array([None] * n, dtype="Int32"),
+                "dl": dl_arr,
+            })
+            total_tf = int(n_terms.sum())
+            tfs = pd.DataFrame({
+                "bucket": np.repeat(buckets, n_terms),
+                "local_idx": np.repeat(local_idx, n_terms),
+                "row_type": "tf",
+                "conv_id": None,
+                "turn_idx": pd.array([None] * total_tf, dtype="Int32"),
+                "role": None, "tool": None, "ts": pd.NaT, "text": None,
+                "term": list(chain.from_iterable(counts_list)),
+                "tf": np.fromiter(
+                    chain.from_iterable(c.values() for c in counts_list),
+                    np.int32, count=total_tf),
+                "dl": np.repeat(dl_arr, n_terms),
+            })
             yield pd.concat([docs[cols], tfs[cols]], ignore_index=True)
         # One 'bstat' summary row per bucket this task owned: exact doc /
         # tf-row / dl totals, so the build never re-scans staging to
@@ -251,22 +265,40 @@ def _encode_iter(avgdl: float, k1: float, b: float, block_size: int,
     import numpy as np
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Sorted input → group boundaries via numpy change points (a
+        # pandas groupby over ~10^6 tiny (term, chunk) groups would pay
+        # ~100 µs of framework overhead per group; this pays ~1 µs).
+        terms = pdf["term"].values
+        chunks = pdf["chunk"].values.astype(np.int64)
+        doc_ids = pdf["doc_id"].values.astype(np.int64)
+        tfs_a = pdf["tf"].values.astype(np.int64)
+        dls_a = pdf["dl"].values.astype(np.int64)
+        n = doc_ids.shape[0]
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(terms[1:], terms[:-1], out=change[1:])
+        np.logical_or(change[1:], chunks[1:] != chunks[:-1],
+                      out=change[1:])
+        seg_starts = np.flatnonzero(change)
+        seg_ends = np.append(seg_starts[1:], n)
         out = {c: [] for c in ("term", "term_bucket", "first_doc_id",
                                "last_doc_id", "n_docs", "deltas", "tfs",
                                "dls", "max_tfnorm")}
-        for (term, _chunk), g in pdf.groupby(["term", "chunk"], sort=False):
+        bucket_cache: dict[str, int] = {}
+        for s, e in zip(seg_starts, seg_ends):
+            term = terms[s]
             rows = encode_term_run(
-                g["doc_id"].values.astype(np.int64),
-                g["tf"].values.astype(np.int64),
-                g["dl"].values.astype(np.int64),
+                doc_ids[s:e], tfs_a[s:e], dls_a[s:e],
                 avgdl, block_size=block_size, k1=k1, b=b)
-            tb = term_bucket(term, n_term_buckets)
-            for (f, l, n, d, t, dl_, mx) in rows:
+            tb = bucket_cache.get(term)
+            if tb is None:
+                tb = bucket_cache[term] = term_bucket(term, n_term_buckets)
+            for (f, l, cnt, d, t, dl_, mx) in rows:
                 out["term"].append(term)
                 out["term_bucket"].append(tb)
                 out["first_doc_id"].append(f)
                 out["last_doc_id"].append(l)
-                out["n_docs"].append(n)
+                out["n_docs"].append(cnt)
                 out["deltas"].append(d)
                 out["tfs"].append(t)
                 out["dls"].append(dl_)

@@ -15,6 +15,7 @@ def merged_queries() -> dict:
     from . import (
         dedup,
         fulltext,
+        incremental_ops,
         multimodal,
         relational,
         similarity,
@@ -22,8 +23,8 @@ def merged_queries() -> dict:
     )
 
     out: dict = {}
-    for mod in (fulltext, relational, dedup, similarity, text_analysis,
-                multimodal):
+    for mod in (fulltext, incremental_ops, relational, dedup, similarity,
+                text_analysis, multimodal):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair
