@@ -18,13 +18,14 @@ def merged_queries() -> dict:
         incremental_ops,
         multimodal,
         relational,
+        scalar_funcs,
         similarity,
         text_analysis,
     )
 
     out: dict = {}
-    for mod in (fulltext, incremental_ops, relational, dedup, similarity,
-                text_analysis, multimodal):
+    for mod in (fulltext, incremental_ops, relational, scalar_funcs, dedup,
+                similarity, text_analysis, multimodal):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair

@@ -24,6 +24,10 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     for c in pdf.columns:
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].astype(str)
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64")
     pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
     return pdf
 
