@@ -185,6 +185,24 @@ def spawn_child(n_cpus: int, corpus: str, warmup: str,
         return json.load(f)
 
 
+def _cpu_burn(_):
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    return x
+
+
+def _mem_burn(_):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        a = rng.integers(0, 255, 20_000_000, dtype=np.uint8)
+        b = a.copy()
+        (a + b)[::4096].sum()
+    return 0
+
+
 def hw_scaling_controls(lo: int, hi: int) -> dict:
     """Hardware ceiling controls, independent of Spark: how well do
     pure-CPU work and memory-copy work scale from lo to hi processes
@@ -192,34 +210,22 @@ def hw_scaling_controls(lo: int, hi: int) -> dict:
     engine's in-box scaling; on a real N-vs-4N-node cluster each node
     brings its own bus, so the build's efficiency should be read
     against `mem_eff`, not against 1.0."""
-    import numpy as np
-
-    def cpu_burn(_):
-        x = 0
-        for i in range(5_000_000):
-            x += i * i
-        return x
-
-    def mem_burn(_):
-        rng = np.random.default_rng(0)
-        for _ in range(12):
-            a = rng.integers(0, 255, 20_000_000, dtype=np.uint8)
-            b = a.copy()
-            (a + b)[::4096].sum()
-        return 0
-
     from multiprocessing import Pool
 
     out = {}
-    for name, fn in (("cpu", cpu_burn), ("mem", mem_burn)):
-        walls = {}
-        for n in (lo, hi):
-            with Pool(n) as p:
-                t0 = time.time()
-                p.map(fn, range(n))
-                walls[n] = time.time() - t0
-        out[f"{name}_eff"] = round(
-            (walls[lo] / walls[hi]) / (hi / lo), 3)
+    for name, fn in (("cpu", _cpu_burn), ("mem", _mem_burn)):
+        best = 0.0
+        for _rep in range(2):     # best-of-2: least-contended sample
+            walls = {}
+            for n in (lo, hi):
+                with Pool(n) as p:
+                    t0 = time.time()
+                    p.map(fn, range(n))   # n tasks on n procs
+                    walls[n] = time.time() - t0
+            # work scales with n, so perfect scaling → equal walls;
+            # efficiency = wall_lo / wall_hi
+            best = max(best, min(walls[lo] / walls[hi], 1.0))
+        out[f"{name}_eff"] = round(best, 3)
     return out
 
 

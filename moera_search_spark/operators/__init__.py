@@ -20,12 +20,13 @@ def merged_queries() -> dict:
         relational,
         scalar_funcs,
         similarity,
+        sinks,
         text_analysis,
     )
 
     out: dict = {}
-    for mod in (fulltext, incremental_ops, relational, scalar_funcs, dedup,
-                similarity, text_analysis, multimodal):
+    for mod in (fulltext, incremental_ops, sinks, relational, scalar_funcs,
+                dedup, similarity, text_analysis, multimodal):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair

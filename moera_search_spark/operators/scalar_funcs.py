@@ -162,7 +162,7 @@ def rank_suggestions_merge(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    s1 = (docs.filter(F.col("source") == "web")
+    s1 = (docs.filter(F.col("source") == "src1")
           .withColumn("stratum", F.lit(1))
           .withColumn("rn", F.row_number().over(
               Window.partitionBy(F.lit(1))
@@ -187,7 +187,7 @@ RANK_SUGGESTIONS_MERGE_SQL = """
     WITH s1 AS (
       SELECT doc_id, CAST(1 AS BIGINT) AS stratum,
              row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
-      FROM documents WHERE source = 'web'),
+      FROM documents WHERE source = 'src1'),
     s2 AS (
       SELECT doc_id, CAST(2 AS BIGINT) AS stratum,
              row_number() OVER (ORDER BY n_chars ASC, doc_id) AS rn

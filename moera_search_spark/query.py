@@ -217,9 +217,14 @@ class FTSIndex:
 
     def search(self, query_text: str, k: int = 10,
                filters: dict | None = None, method: str = "exhaustive",
-               hydrate: bool = False):
+               hydrate: bool = False, page: int = 0):
         """Top-k BM25. Returns DataFrame (doc_id, score) rank-ordered,
-        or hydrated doc rows when ``hydrate``."""
+        or hydrated doc rows when ``hydrate``.
+
+        ``page`` gives the reference's from/size pagination
+        (from = page·limit, size = limit — Index.java:397-398, limits
+        defaulted/capped by SearchEntriesController.java:38-39): rank
+        the top (page+1)·k and slice the last k."""
         from pyspark.sql import functions as F
 
         q_terms = self.query_terms(query_text)
@@ -229,15 +234,18 @@ class FTSIndex:
         if not matched:
             result = empty
         else:
+            depth = (page + 1) * k
             postings_sel = self._postings_for(matched)
             if method == "exhaustive":
                 scored = self._score(postings_sel, idf, filters)
             elif method == "pruned":
-                scored = self._pruned_scored(postings_sel, idf, filters, k)
+                scored = self._pruned_scored(postings_sel, idf, filters,
+                                             depth)
             else:
                 raise ValueError(f"unknown method {method}")
-            result = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
-                      .limit(k))
+            ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            result = (ranked.offset(page * k).limit(k) if page > 0
+                      else ranked.limit(depth))
         if hydrate:
             # broadcast the k winners into the docs table (the analogue
             # of fetch-ids-then-hydrate, EntryRepository.findDocuments)
@@ -284,6 +292,33 @@ class FTSIndex:
         rest = cand.join(F.broadcast(rest_chunks), "chunk", "left_semi")
         rest_scored = self._score(rest, idf, filters)
         return seed_scored.unionByName(rest_scored)
+
+    def search_conversations(self, query_text: str, k: int = 10,
+                             agg: str = "max",
+                             filters: dict | None = None,
+                             method: str = "exhaustive"):
+        """Conversation-level top-k: aggregate turn scores per conv_id
+        (``max`` = best-turn ranking, Lucene best_fields flavor;
+        ``sum`` = total-evidence).  The analogue of the reference's
+        ALL entry type folding comments into their parent posting
+        (EntryRepository.java:172-181 CASE over the optional hop)."""
+        from pyspark.sql import functions as F
+
+        q_terms = self.query_terms(query_text)
+        idf = self.idf_map(q_terms)
+        matched = [t for t in q_terms if t in idf]
+        if not matched:
+            return self.spark.createDataFrame(
+                [], "conv_id string, score double, n_turns long")
+        scored = self._score(self._postings_for(matched), idf, filters)
+        agg_fn = {"max": F.max, "sum": F.sum}[agg]
+        per_conv = (scored
+                    .join(self.docs.select("doc_id", "conv_id"), "doc_id")
+                    .groupBy("conv_id")
+                    .agg(agg_fn("score").alias("score"),
+                         F.count("*").alias("n_turns")))
+        return (per_conv.orderBy(F.desc("score"), F.asc("conv_id"))
+                .limit(k))
 
     def match_count(self, query_text: str,
                     filters: dict | None = None) -> int:

@@ -86,3 +86,31 @@ class TestQueryEdges:
         page1 = built_index.search("data table join", k=20).collect()[10:20]
         assert [int(r["doc_id"]) for r in page1] == \
             [d for d, _ in full[10:20]]
+
+    def test_page_param(self, built_index, oracle_index):
+        """search(page=1) returns exactly ranks k..2k-1."""
+        full = oracle_index.search("data table join", k=20)
+        for method in ("exhaustive", "pruned"):
+            page1 = built_index.search("data table join", k=10, page=1,
+                                       method=method).collect()
+            assert [int(r["doc_id"]) for r in page1] == \
+                [d for d, _ in full[10:20]], method
+
+    def test_conversation_rollup(self, built_index, oracle_index,
+                                 docs_pdf):
+        """Conversation-level top-k = per-turn scores folded by conv
+        (max agg), matching a python rollup of the oracle's scores."""
+        all_hits = oracle_index.search("spark shuffle partition", k=10**9)
+        conv_of = dict(zip(docs_pdf["doc_id"], docs_pdf["conv_id"]))
+        best: dict[str, float] = {}
+        for d, s in all_hits:
+            c = conv_of[d]
+            if c not in best or s > best[c]:
+                best[c] = s
+        exp = sorted(best.items(), key=lambda x: (-x[1], x[0]))[:10]
+        got = [(r["conv_id"], float(r["score"])) for r in
+               built_index.search_conversations(
+                   "spark shuffle partition", k=10).collect()]
+        assert [c for c, _ in got] == [c for c, _ in exp]
+        for (_, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-9)

@@ -1,0 +1,100 @@
+"""spark-submit entry point for the index build / update / query jobs.
+
+Packaging (north_rule: "run via spark-submit --py-files on a
+multi-executor cluster"):
+
+    python tools/make_submit_zip.py                  # → dist/moera_search_spark.zip
+    spark-submit --py-files dist/moera_search_spark.zip \\
+        tools/submit_build.py build \\
+        --input /data/transcripts --index-dir /data/fts_index \\
+        --n-buckets 4096 [--resume]
+
+Subcommands:
+    build   — full (or resumed) index build from a transcripts table
+    update  — apply one change-log delta batch (parquet with op column)
+    compact — merge segments / drop tombstones
+    query   — top-k BM25 from the CLI (smoke/latency checks)
+
+The driver config (master, executors, memory) comes from spark-submit;
+this script only sets job-level knobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="submit_build")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True,
+                   help="transcripts table path (parquet/iceberg dir)")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--n-buckets", type=int, default=256)
+    b.add_argument("--buckets-per-job", type=int, default=None)
+    b.add_argument("--n-term-buckets", type=int, default=64)
+    b.add_argument("--mode", default="english")
+    b.add_argument("--resume", action="store_true")
+
+    u = sub.add_parser("update")
+    u.add_argument("--changelog", required=True,
+                   help="parquet dir: transcripts schema + op column")
+    u.add_argument("--index-dir", required=True)
+    u.add_argument("--checkpoint-dir", required=True)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--index-dir", required=True)
+    c.add_argument("--n-buckets", type=int, default=256)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--text", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--method", default="pruned",
+                   choices=["exhaustive", "pruned"])
+
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(
+        f"moera-search-spark-{args.cmd}").getOrCreate()
+
+    if args.cmd == "build":
+        from moera_search_spark.build import build_index
+
+        res = build_index(
+            spark, spark.read.parquet(args.input), args.index_dir,
+            mode=args.mode, n_buckets=args.n_buckets,
+            buckets_per_job=args.buckets_per_job,
+            n_term_buckets=args.n_term_buckets, resume=args.resume)
+        print(json.dumps(res))
+    elif args.cmd == "update":
+        from moera_search_spark.streaming import stream_updates
+
+        stream_updates(spark, args.index_dir, args.changelog,
+                       checkpoint_dir=args.checkpoint_dir)
+        print(json.dumps({"status": "drained"}))
+    elif args.cmd == "compact":
+        from moera_search_spark.incremental import compact
+
+        print(json.dumps(compact(spark, args.index_dir,
+                                 n_buckets=args.n_buckets)))
+    elif args.cmd == "query":
+        from moera_search_spark.query import FTSIndex
+
+        idx = FTSIndex(spark, args.index_dir)
+        rows = idx.search(args.text, k=args.k,
+                          method=args.method).collect()
+        print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}
+                          for r in rows]))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
