@@ -233,8 +233,37 @@ FTS_PREFIX_MATCH_SQL = f"""
 """
 
 
+def fts_by_hashtag_keyset(spark, sf_dir):
+    """The by-hashtag entry point: tag predicate + keyset ("moment")
+    pagination — `moment <= before ORDER BY moment DESC LIMIT n`
+    (reference: EntryRepository.findEntriesByHashtag,
+    EntryRepository.java:60-207; slice bookkeeping
+    SearchEntriesController.java:77-79,104-118).  The tag match is the
+    MARKED_WITH semi-join collapsed onto the text column; the moment
+    key here is doc_id."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    before = 400
+    return (docs
+            .filter(F.col("text").rlike("data"))
+            .filter(F.col("doc_id") <= before)
+            .orderBy(F.desc("doc_id"))
+            .limit(20)
+            .select("doc_id", "lang"))
+
+
+FTS_BY_HASHTAG_KEYSET_SQL = """
+    SELECT doc_id, lang FROM documents
+    WHERE regexp_matches(text, 'data') AND doc_id <= 400
+    ORDER BY doc_id DESC LIMIT 20
+"""
+
+
 QUERIES = {
     "fts_corpus_stats": (fts_corpus_stats, FTS_CORPUS_STATS_SQL),
+    "fts_by_hashtag_keyset": (fts_by_hashtag_keyset,
+                              FTS_BY_HASHTAG_KEYSET_SQL),
     "fts_term_stats": (fts_term_stats, FTS_TERM_STATS_SQL),
     "fts_doc_lengths": (fts_doc_lengths, FTS_DOC_LENGTHS_SQL),
     "fts_bm25_topk": (fts_bm25_topk, FTS_BM25_TOPK_SQL),
