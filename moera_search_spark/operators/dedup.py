@@ -59,24 +59,23 @@ DEDUP_EXACT_SQL = r"""
 
 
 def _bigrams(spark, sf_dir):
-    """Word 2-gram (shingle) set per doc: posexplode + self-join on
-    adjacent positions — both engines enumerate identically."""
+    """Word 2-gram (shingle) set per doc, as pure array algebra inside
+    whole-stage codegen: adjacent-pair shingling is a ``transform``
+    over the token array with index lookback — no token self-join, no
+    extra shuffle (the DuckDB oracle enumerates the same set)."""
     from pyspark.sql import functions as F
 
     d = _docs(spark, sf_dir)
-    toks = d.select(
+    with_arr = d.select(
         "doc_id",
-        F.posexplode(F.split(F.lower("text"), "[^a-z0-9]+"))
-        .alias("pos", "tok")).filter(F.col("tok") != "")
-    t1 = toks.alias("t1")
-    t2 = toks.alias("t2")
-    return (
-        t1.join(t2, (F.col("t1.doc_id") == F.col("t2.doc_id"))
-                & (F.col("t2.pos") == F.col("t1.pos") + 1))
-        .select(F.col("t1.doc_id").alias("doc_id"),
-                F.concat_ws(" ", "t1.tok", "t2.tok").alias("shingle"))
-        .distinct()
-    )
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                 lambda t: t != "").alias("arr"))
+    return (with_arr.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(arr, 1, greatest(size(arr) - 1, 0)),"
+            " (x, i) -> x || ' ' || arr[i + 1])")).alias("shingle"))
+        .distinct())
 
 
 _BIGRAMS_SQL = """

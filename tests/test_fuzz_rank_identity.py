@@ -1,0 +1,59 @@
+"""Randomized rank-identity: seeded random queries (term mixes, ks,
+filters) must agree between the engine (both scoring strategies) and
+the pure-python oracle — broadening the fixed reference query set.
+Also the WAND admissibility property from SURVEY §5: pruning must
+never change top-k."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from moera_search_spark.fixtures import BASE_TS, filters_predicate
+
+VOCAB_SAMPLE = [
+    "the", "system", "query", "index", "spark", "join", "window",
+    "shuffle", "partition", "results", "data", "table", "scan", "merge",
+    "term0007", "term0123", "term1847", "zzznotaterm", "running",
+    "world's", "cache", "disk", "error", "retry", "plan",
+]
+FILTER_CHOICES = [
+    None,
+    {"role": "assistant"},
+    {"role": "tool", "tool": "bash"},
+    {"tool": "search"},
+]
+
+
+def _random_queries(n: int, seed: int = 7):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        n_terms = rng.randint(1, 5)
+        text = " ".join(rng.choice(VOCAB_SAMPLE) for _ in range(n_terms))
+        filters = rng.choice(FILTER_CHOICES)
+        if filters and rng.random() < 0.3:
+            from datetime import timedelta
+
+            filters = dict(filters)
+            filters["ts_min"] = BASE_TS + timedelta(hours=rng.randint(0, 50))
+        out.append({"text": text, "filters": filters,
+                    "k": rng.choice([1, 5, 10, 25])})
+    return out
+
+
+@pytest.mark.parametrize("q", _random_queries(20),
+                         ids=lambda q: q["text"][:25].replace(" ", "_"))
+def test_fuzz_rank_identity(built_index, oracle_index, q):
+    expected = oracle_index.search(
+        q["text"], k=q["k"], predicate=filters_predicate(q["filters"]))
+    for method in ("exhaustive", "pruned"):
+        got = [(int(r["doc_id"]), float(r["score"])) for r in
+               built_index.search(q["text"], k=q["k"],
+                                  filters=q["filters"],
+                                  method=method).collect()]
+        assert [d for d, _ in got] == [d for d, _ in expected], \
+            (method, q)
+        for (_, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, abs=1e-9)
