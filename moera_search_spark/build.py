@@ -233,8 +233,6 @@ def _staging_iter(mode: str):
         if counters:
             import json as _json
 
-            cols = ["bucket", "local_idx", "row_type", "conv_id", "turn_idx",
-                    "role", "tool", "ts", "text", "term", "tf", "dl"]
             stat = pd.DataFrame({
                 "bucket": list(counters.keys()),
                 "local_idx": [0] * len(counters),

@@ -129,9 +129,98 @@ ANN_BUCKET_HISTOGRAM_SQL = f"""
 """
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+KMEANS_ITERS = 5
+SAMPLE_EVERY = 7
+SAMPLE_MAX = 512
+
+
+def ivf_centroids(spark, sf_dir):
+    """Deterministic coarse quantizer: spherical k-means over a fixed
+    arithmetic sample (every 7th vec_id, ≤512 rows), first-k init,
+    5 Lloyd iterations — no RNG, so the python test oracle reproduces
+    the exact centroids.  At 10^9+ vectors the sample stays
+    driver-sized (IVF training is always a sample problem)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rows = (_emb(spark, sf_dir)
+            .filter(F.col("vec_id") % SAMPLE_EVERY == 0)
+            .orderBy("vec_id").limit(SAMPLE_MAX)
+            .select("embedding").collect())
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = X[:N_CENTROIDS].copy()
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    for _ in range(KMEANS_ITERS):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True),
+                            1e-12)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for j in range(N_CENTROIDS):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def _cell_udf(C):
+    """Arrow-vectorized cell assignment: argmax cosine vs the (tiny,
+    closure-broadcast) centroid matrix — numpy matmul per batch."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign(embs):
+        X = np.stack(embs.values).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                            1e-12)
+        return pd.Series((Xn @ Cn.T).argmax(axis=1).astype(np.int32))
+
+    # real type hints (the module's postponed annotations would turn
+    # inline hints into strings, which pandas_udf can't resolve)
+    assign.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "int")
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse-quantize every vector to its nearest centroid
+    cell, probe the query's N_PROBE nearest cells, score only those
+    candidates.  The inverted-file analogue of the engine's postings:
+    at scale the table is laid out partitioned by cell, so a query
+    reads N_PROBE partitions instead of the full scan."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    C = ivf_centroids(spark, sf_dir)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    e = _with_norm(_emb(spark, sf_dir)).withColumn(
+        "cell", _cell_udf(C)("embedding"))
+    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    qv = np.array(q_row["embedding"], dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probes = [int(c) for c in (qn @ Cn.T).argsort()[::-1][:N_PROBE]]
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).alias("q")
+    a = (e.filter(F.col("vec_id") != QUERY_VEC_ID)
+         .filter(F.col("cell").isin(probes)).alias("a"))
+    return (
+        a.crossJoin(F.broadcast(q))
+        .withColumn("cos_e4", F.round(_cos(F) * 1e4).cast("long"))
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("a.cell").cast("long").alias("cell"), "cos_e4")
+        .orderBy(F.desc("cos_e4"), F.asc("vec_id"))
+        .limit(K)
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "ann_lsh_bucket_topk": (ann_lsh_bucket_topk, ANN_LSH_BUCKET_TOPK_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, None),   # python oracle in tests
     "ann_bucket_histogram":
         (ann_bucket_histogram, ANN_BUCKET_HISTOGRAM_SQL),
 }

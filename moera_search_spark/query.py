@@ -283,15 +283,24 @@ class FTSIndex:
                 [], "doc_id long, score double")
         seed_scored = self._score(
             cand.filter(F.col("chunk").isin(seed)), idf, filters)
-        kth = (seed_scored.orderBy(F.desc("score")).limit(k)
-               .collect())
-        theta = float(kth[-1]["score"]) if len(kth) >= k else 0.0
+        # One scoring pass over the seed chunks: its top-k both sets
+        # θ and stands in for the whole seed in the final merge (any
+        # doc of the global top-k that lives in a seed chunk is by
+        # definition inside the seed's own top-k).
+        seed_topk = (seed_scored
+                     .orderBy(F.desc("score"), F.asc("doc_id"))
+                     .limit(k).collect())
+        theta = float(seed_topk[-1]["score"]) \
+            if len(seed_topk) >= k else 0.0
+        seed_local = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in seed_topk],
+            "doc_id long, score double")
         rest_chunks = (bounds.filter(~F.col("chunk").isin(seed))
                        .filter(F.col("bound") >= F.lit(theta))
                        .select("chunk"))
         rest = cand.join(F.broadcast(rest_chunks), "chunk", "left_semi")
         rest_scored = self._score(rest, idf, filters)
-        return seed_scored.unionByName(rest_scored)
+        return seed_local.unionByName(rest_scored)
 
     def search_conversations(self, query_text: str, k: int = 10,
                              agg: str = "max",
