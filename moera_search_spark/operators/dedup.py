@@ -197,13 +197,32 @@ def dedup_minhash_lsh(spark, sf_dir):
                 F.col("b.doc_id").alias("cand_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (semi-join back to shingles)
-    verified = dedup_ngram_jaccard(spark, sf_dir)
-    return cand.join(
-        verified,
-        (F.col("cand_a") == F.col("id_a"))
-        & (F.col("cand_b") == F.col("id_b")),
-        "inner").select("id_a", "id_b", "jaccard_e6")
+    # Verify with exact Jaccard computed ONLY for candidate pairs —
+    # the whole point of banding is that verification cost scales with
+    # |candidates|, never with the all-pairs shingle join.
+    sh = _bigrams(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("cand_a"),
+                     F.col("shingle").alias("s"))
+    sh_b = sh.select(F.col("doc_id").alias("cand_b"),
+                     F.col("shingle").alias("s"))
+    inter = (F.broadcast(cand).join(sh_a, "cand_a")
+             .join(sh_b, ["cand_b", "s"])
+             .groupBy("cand_a", "cand_b")
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("cand_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("cand_b") == F.col("sb.doc_id"))
+        .withColumn("jaccard", F.col("inter")
+                    / (F.col("sa.n") + F.col("sb.n") - F.col("inter")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("cand_a").alias("id_a"),
+                F.col("cand_b").alias("id_b"),
+                F.round(F.col("jaccard") * 1e6).cast("long")
+                .alias("jaccard_e6"))
+    )
 
 
 def dedup_simhash(spark, sf_dir, bits: int = 32):
