@@ -20,9 +20,20 @@ exposed two ways:
   Spark build/query pipelines (pandas UDF / mapInPandas; no per-row
   Spark python UDFs, per BASELINE input_hint).
 
-Two modes:
+Four modes:
 
 * ``english`` — the full Lucene chain above (the engine default).
+* ``russian`` — the Lucene ``russian`` analyzer twin: StandardTokenizer
+  → LowerCaseFilter → StopFilter (Snowball Russian stop set) →
+  SnowballFilter(Russian) — see russian.py.  The reference declares
+  BOTH analyzers on every text field (doc/mappings.txt:45-56).
+* ``bilingual`` — the twin-field model itself: every document's terms
+  are emitted under BOTH analyzers, namespaced ``en>stem`` / ``ru>stem``
+  (the Spark restatement of OpenSearch multi-fields); the query side
+  analyzes with ONE chain picked by ``detect_language`` — exactly the
+  reference's query-language field routing
+  (index/LanguageAnalyzer.java:21-48 detects the query language and
+  searches the matching twin fields).
 * ``simple``  — lowercase + split on non-alphanumeric.  This matches
   Lucene's ``simple`` analyzer used by the reference's node full-name
   fulltext index (reference:
@@ -47,6 +58,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from .porter import MemoStemmer
+from .russian import RUSSIAN_STOPWORDS, RussianMemoStemmer
 
 # Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (public constant, 33 words).
 ENGLISH_STOPWORDS = frozenset(
@@ -98,13 +110,53 @@ def extract_hashtags(text: str) -> list[str]:
     return list(seen)
 
 
+_CYRILLIC_RE = re.compile(r"[а-яё]", re.IGNORECASE)
+_LETTER_RE = re.compile(r"[^\W\d_]", re.UNICODE)
+
+
+def detect_language(text: str | None) -> str:
+    """'ru' when Cyrillic letters dominate, else 'en' — the routing
+    decision of the reference's query-language detection
+    (index/LanguageAnalyzer.java:21-48, lingua en/ru).  For the en/ru
+    pair, script detection is the load-bearing signal (documented
+    simplification of the lingua n-gram model)."""
+    if not text:
+        return "en"
+    letters = _LETTER_RE.findall(text)
+    if not letters:
+        return "en"
+    cyr = sum(1 for ch in letters if _CYRILLIC_RE.match(ch))
+    return "ru" if cyr * 2 > len(letters) else "en"
+
+
+def _analyze_russian(text: str, stemmer: RussianMemoStemmer) -> list[str]:
+    """Lucene russian chain: tokenize → lowercase → RU stop set →
+    Snowball russian stem (no possessive filter in that chain)."""
+    out: list[str] = []
+    for raw in _TOKEN_RE.findall(text):
+        tok = raw.lower().replace("ё", "е")
+        if not tok or tok in RUSSIAN_STOPWORDS:
+            continue
+        out.append(stemmer(tok))
+    return out
+
+
 def analyze(text: str | None, mode: str = "english",
-            _stemmer: MemoStemmer | None = None) -> list[str]:
+            _stemmer=None) -> list[str]:
     """Run the full analysis chain on one string → list of terms."""
     if text is None:
         return []
     if mode == "simple":
         return [t for t in _SIMPLE_SPLIT_RE.split(text.lower()) if t]
+    if mode == "russian":
+        stemmer = _stemmer if _stemmer is not None else RussianMemoStemmer()
+        return _analyze_russian(text, stemmer)
+    if mode == "bilingual":
+        # index-side twin fields: term streams from BOTH analyzers,
+        # namespaced so query routing picks exactly one field
+        st = _stemmer if _stemmer is not None else _BilingualStemmers()
+        return ([f"en>{t}" for t in analyze(text, "english", st.en)]
+                + [f"ru>{t}" for t in _analyze_russian(text, st.ru)])
     if mode != "english":
         raise ValueError(f"unknown analyzer mode: {mode}")
     stemmer = _stemmer if _stemmer is not None else MemoStemmer()
@@ -117,13 +169,45 @@ def analyze(text: str | None, mode: str = "english",
     return out
 
 
+class _BilingualStemmers:
+    """Paired memo stemmers for the bilingual twin-field mode."""
+
+    def __init__(self) -> None:
+        self.en = MemoStemmer()
+        self.ru = RussianMemoStemmer()
+
+
+def analyze_query(text: str | None, mode: str = "english") -> list[str]:
+    """Query-side analysis.  In ``bilingual`` mode this is the
+    reference's language routing: detect the query language, analyze
+    with THAT chain only, and address the matching twin field via the
+    term namespace (LanguageAnalyzer.java:42-48 picks subject/text
+    fields by detected language)."""
+    if mode != "bilingual":
+        return analyze(text, mode=mode)
+    lang = detect_language(text)
+    if lang == "ru":
+        return [f"ru>{t}" for t in analyze(text, "russian")]
+    return [f"en>{t}" for t in analyze(text, "english")]
+
+
+def make_stemmer(mode: str):
+    """The memoized stemmer object matching an analysis mode (one per
+    Arrow batch amortizes distinct-term stemming)."""
+    if mode == "russian":
+        return RussianMemoStemmer()
+    if mode == "bilingual":
+        return _BilingualStemmers()
+    return MemoStemmer()
+
+
 def analyze_series(texts: pd.Series, mode: str = "english") -> pd.Series:
     """Vectorized analysis: pandas Series[str] → Series[list[str]].
 
-    One MemoStemmer per Arrow batch — distinct-term stemming cost is
+    One memo stemmer per Arrow batch — distinct-term stemming cost is
     amortized over the whole batch.
     """
-    stemmer = MemoStemmer()
+    stemmer = make_stemmer(mode)
     return texts.map(lambda t: analyze(t, mode=mode, _stemmer=stemmer))
 
 
@@ -140,7 +224,7 @@ def make_tokenize_udf(mode: str = "english"):
 
 
 def doc_terms_tf(text: str | None, mode: str = "english",
-                 _stemmer: MemoStemmer | None = None) -> Counter:
+                 _stemmer=None) -> Counter:
     """Per-document term frequencies (map-side; no shuffle needed)."""
     return Counter(analyze(text, mode=mode, _stemmer=_stemmer))
 
@@ -154,7 +238,7 @@ def tokens_tf_iter(pdf_iter: Iterator[pd.DataFrame], *, text_col: str,
     table never goes through a groupBy shuffle, and dl rides along so
     the postings builder never joins back to the docs table.
     """
-    stemmer = MemoStemmer()
+    stemmer = make_stemmer(mode)
     for pdf in pdf_iter:
         doc_ids: list[int] = []
         terms: list[str] = []

@@ -60,8 +60,7 @@ from typing import Iterator
 import pandas as pd
 
 from . import manifest as mf
-from .analyzer import analyze, doc_terms_tf
-from .porter import MemoStemmer
+from .analyzer import analyze, doc_terms_tf, make_stemmer
 from .postings import BLOCK_SIZE, CHUNK_SIZE, K1, B, encode_term_run
 
 STAGING_SCHEMA_DDL = (
@@ -100,15 +99,31 @@ def _single_parquet(index_dir: str, name: str) -> str:
     return path
 
 
-def _bucket_expr(F, boundaries: list[str]):
-    """bucket(conv_id) = #{b in boundaries : b <= conv_id} − 1.
+def _bucket_udf(boundaries: list[str]):
+    """Vectorized bucket(conv_id) = #{b in boundaries : b <= conv_id} − 1.
 
-    boundaries[0] is "" so every conv_id lands in a bucket.  O(n_buckets)
-    JVM-side comparisons per row — fine for thousands of buckets; swap
-    for a broadcast range join beyond that.
+    boundaries[0] is "" so every non-null conv_id lands in a bucket.
+    An Arrow-batched pandas UDF over ``np.searchsorted`` — O(log
+    n_buckets) per row with the (tiny) boundary array closure-captured,
+    so the plan carries no literal array and 2^18 buckets cost 18
+    comparisons per row, not 262k.  Null conv_ids fail the build loudly
+    (they have no place in the (conv_id, turn_idx) row invariant).
     """
-    arr = F.array(*[F.lit(b) for b in boundaries])
-    return F.size(F.filter(arr, lambda b: b <= F.col("conv_id"))) - 1
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bounds = np.array(boundaries, dtype=object)
+
+    @pandas_udf("int")
+    def assign(conv: pd.Series) -> pd.Series:
+        if conv.isna().any():
+            raise ValueError(
+                "null conv_id in transcripts input — every row needs a "
+                "(conv_id, turn_idx) key; filter nulls upstream")
+        idx = np.searchsorted(bounds, conv.to_numpy(), side="right") - 1
+        return pd.Series(idx, dtype="int32")
+
+    return assign
 
 
 def compute_boundaries(spark, df, n_buckets: int,
@@ -132,6 +147,7 @@ def compute_boundaries(spark, df, n_buckets: int,
 
     def sampler(pdf_iter):
         for pdf in pdf_iter:
+            pdf = pdf.dropna(subset=["conv_id"])
             if len(pdf) == 0:
                 continue
             idx = np.linspace(0, len(pdf) - 1,
@@ -166,7 +182,7 @@ def _staging_iter(mode: str):
         counters: dict[int, int] = {}
         tf_counts: dict[int, int] = {}
         dl_sums: dict[int, int] = {}
-        stemmer = MemoStemmer()
+        stemmer = make_stemmer(mode)
         cols = ["bucket", "local_idx", "row_type", "conv_id", "turn_idx",
                 "role", "tool", "ts", "text", "term", "tf", "dl"]
         for pdf in pdf_iter:
@@ -362,7 +378,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     doc_id_offset = int(config.get("doc_id_offset", 0))
 
     staging_path = os.path.join(index_dir, "staging")
-    bucket_col = _bucket_expr(F, boundaries)
+    bucket_col = _bucket_udf(boundaries)(F.col("conv_id"))
 
     # ---- stage 1: per-bucket staging (docs numbering + tokenize/tf) ----
     done = mf.done_partitions(index_dir, "staging")
@@ -492,11 +508,22 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                 POSTINGS_SCHEMA_DDL)
         )
         # final layout: term-sharded directories (partition pruning for
-        # query-time term lookups) with term-sorted row groups inside
-        # each task's files; one shuffle total, blocks deterministic
-        # because the shuffle key (term, chunk) fixes group membership
-        # regardless of parallelism.
-        (encoded.write.mode("overwrite").partitionBy("term_bucket")
+        # query-time term lookups).  The encoded blocks are re-shuffled
+        # onto their term_bucket before the write so each bucket
+        # directory holds exactly ONE file — without it every encoder
+        # task writes a file into every bucket it touches
+        # (tasks × n_term_buckets small files, and query-time file
+        # listing cost grows with build parallelism).  This second
+        # exchange moves only the compressed blocks (~the index size,
+        # a small fraction of the tf rows the first shuffle carried);
+        # rows are sorted inside each bucket so term-level row-group
+        # min-max pruning works and the bytes are deterministic at any
+        # parallelism (the shuffle key (term, chunk) already fixed
+        # block contents).
+        (encoded
+         .repartition(n_term_buckets, "term_bucket")
+         .sortWithinPartitions("term", "first_doc_id")
+         .write.mode("overwrite").partitionBy("term_bucket")
          .parquet(os.path.join(index_dir, "postings")))
 
     jobs = [(stage, fn) for stage, fn in
@@ -524,6 +551,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     # avgdl any live posting blocks were encoded with (block-max bound
     # correction stays admissible as the corpus avgdl drifts).
     config["next_doc_id"] = doc_id_offset + n_docs
+    config["corpus"] = {"n_docs": n_docs, "total_dl": total_dl}
     prev_min = config.get("min_encode_avgdl")
     config["min_encode_avgdl"] = (
         avgdl if prev_min is None else min(float(prev_min), avgdl))

@@ -69,25 +69,73 @@ def _tombstones_df(spark, index_dir: str):
     return spark.read.parquet(path).select("doc_id")
 
 
+SEG_SUBDIRS = ("docs", "term_stats", "postings")
+
+
 def _adopt_segment_files(seg_dir: str, index_dir: str, batch_id: str,
-                         subdirs: tuple[str, ...] = ("docs", "term_stats",
-                                                     "postings")) -> None:
+                         subdirs: tuple[str, ...] = SEG_SUBDIRS) -> None:
     """Move a finished segment's parquet files into the main index
-    directories (append-only adoption; names prefixed with the batch id
-    so segments never collide).  On object storage this is the same
-    cheap metadata operation Iceberg's append commit performs."""
+    directories (append-only adoption).  Names are derived from the
+    batch id + a per-directory sequence number — deterministic across
+    retries, so together with ``_cleanup_batch_artifacts`` a re-run of
+    a crashed batch can never leave two live copies.  On object storage
+    this is the same cheap metadata operation Iceberg's append commit
+    performs."""
     for sub in subdirs:
         src_root = os.path.join(seg_dir, sub)
         dst_root = os.path.join(index_dir, sub)
-        for root, _dirs, files in os.walk(src_root):
+        for root, dirs, files in os.walk(src_root):
+            dirs.sort()
             rel = os.path.relpath(root, src_root)
             dst = dst_root if rel == "." else os.path.join(dst_root, rel)
             os.makedirs(dst, exist_ok=True)
-            for f in files:
+            for i, f in enumerate(sorted(files)):
                 if not f.endswith(".parquet"):
                     continue
                 os.replace(os.path.join(root, f),
-                           os.path.join(dst, f"seg-{batch_id}-{f}"))
+                           os.path.join(dst,
+                                        f"seg-{batch_id}-{i:05d}.parquet"))
+
+
+def _cleanup_batch_artifacts(index_dir: str, batch_id: str) -> None:
+    """Remove every on-disk artifact a crashed attempt of ``batch_id``
+    may have left (temp dirs, per-batch tombstone files, adopted
+    segment files).  Called before re-applying an unrecorded batch:
+    the mutation sequence below is not atomic, but after this sweep the
+    index is back to its exact pre-batch state, so apply_updates as a
+    whole is idempotent — the atomic config save is the commit point."""
+    shutil.rmtree(os.path.join(index_dir, f"_seg_{batch_id}"),
+                  ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, f"_tomb_{batch_id}"),
+                  ignore_errors=True)
+    tomb_dir = os.path.join(index_dir, TOMBSTONES)
+    if os.path.isdir(tomb_dir):
+        for f in os.listdir(tomb_dir):
+            if f.startswith(f"batch-{batch_id}-"):
+                os.remove(os.path.join(tomb_dir, f))
+    prefix = f"seg-{batch_id}-"
+    for sub in SEG_SUBDIRS:
+        for root, _dirs, files in os.walk(os.path.join(index_dir, sub)):
+            for f in files:
+                if f.startswith(prefix):
+                    os.remove(os.path.join(root, f))
+
+
+def _adopt_tombstones(spark, index_dir: str, batch_id: str, doomed) -> None:
+    """Write this batch's tombstoned doc_ids as deterministically-named
+    files under ``_tombstones`` (batch-<id>-<seq>.parquet) so a retry
+    overwrites instead of appending duplicates."""
+    tmp = os.path.join(index_dir, f"_tomb_{batch_id}")
+    doomed.select("doc_id").write.mode("overwrite").parquet(tmp)
+    dst = os.path.join(index_dir, TOMBSTONES)
+    os.makedirs(dst, exist_ok=True)
+    i = 0
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            os.replace(os.path.join(tmp, f),
+                       os.path.join(dst, f"batch-{batch_id}-{i:05d}.parquet"))
+            i += 1
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _write_corpus_stats(index_dir: str, n_docs: int, total_dl: int) -> None:
@@ -122,13 +170,26 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
         raise FileNotFoundError(f"no build config at {index_dir}")
     applied = {b["batch_id"] for b in config.get("delta_batches", [])}
     if batch_id in applied:
+        # Batch committed; heal the derived corpus_stats cache in case
+        # the previous attempt crashed between commit and cache write.
+        if "corpus" in config:
+            _write_corpus_stats(index_dir, int(config["corpus"]["n_docs"]),
+                                int(config["corpus"]["total_dl"]))
         return {"batch_id": batch_id, "skipped": True}
 
-    import pandas as pd
+    # Unrecorded batch: sweep any artifacts a crashed attempt left so
+    # the mutations below start from the exact pre-batch state.
+    _cleanup_batch_artifacts(index_dir, batch_id)
 
-    corpus = pd.read_parquet(
-        os.path.join(index_dir, "corpus_stats")).iloc[0]
-    n_live, total_dl = int(corpus["n_docs"]), int(corpus["total_dl"])
+    if "corpus" in config:
+        n_live = int(config["corpus"]["n_docs"])
+        total_dl = int(config["corpus"]["total_dl"])
+    else:   # index built before corpus moved into config
+        import pandas as pd
+
+        corpus = pd.read_parquet(
+            os.path.join(index_dir, "corpus_stats")).iloc[0]
+        n_live, total_dl = int(corpus["n_docs"]), int(corpus["total_dl"])
 
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     tomb = _tombstones_df(spark, index_dir)
@@ -171,8 +232,7 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
                          F.sum("dl").alias("dl")).collect()[0]
         n_doomed, dl_doomed = int(agg["n"]), int(agg["dl"] or 0)
         if n_doomed:
-            (doomed.select("doc_id").write.mode("append")
-             .parquet(os.path.join(index_dir, TOMBSTONES)))
+            _adopt_tombstones(spark, index_dir, batch_id, doomed)
 
     # -- build the delta segment (a mini index with offset doc_ids) ----
     next_id = int(config.get("next_doc_id", n_live))
@@ -196,20 +256,27 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
             _adopt_segment_files(seg_dir, index_dir, batch_id)
         shutil.rmtree(seg_dir, ignore_errors=True)
 
-    # -- stats + lineage ----------------------------------------------
-    _write_corpus_stats(index_dir, n_live - n_doomed + seg_docs,
-                        total_dl - dl_doomed + seg_dl)
+    # -- stats + lineage (commit point) -------------------------------
+    # Everything above is idempotent given the pre-batch state (the
+    # entry sweep removes partial artifacts); this single atomic config
+    # save commits the batch: lineage, next_doc_id, and the corpus
+    # stats all land together.  The corpus_stats parquet is a derived
+    # cache written after the commit (healed on the skip path).
+    new_n = n_live - n_doomed + seg_docs
+    new_dl = total_dl - dl_doomed + seg_dl
     config = mf.load_config(index_dir)   # fresh copy before mutating
     config.setdefault("delta_batches", []).append({
         "batch_id": batch_id, "upserts_indexed": seg_docs,
         "tombstoned": n_doomed,
         "first_doc_id": next_id if seg_docs else None})
     config["next_doc_id"] = next_id + seg_docs
+    config["corpus"] = {"n_docs": new_n, "total_dl": new_dl}
     if seg_docs and seg_avgdl:
         prev = config.get("min_encode_avgdl")
         config["min_encode_avgdl"] = (
             seg_avgdl if prev is None else min(float(prev), seg_avgdl))
     mf.save_config(index_dir, config)
+    _write_corpus_stats(index_dir, new_n, new_dl)
     mf.mark(index_dir, f"delta_{batch_id}", [-1], "done",
             rows_in={-1: seg_docs}, terms_out={-1: n_doomed})
     mf.record_metrics(index_dir, f"delta_{batch_id}", "delta",

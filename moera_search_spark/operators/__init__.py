@@ -25,8 +25,11 @@ def merged_queries() -> dict:
     )
 
     out: dict = {}
-    for mod in (fulltext, incremental_ops, sinks, relational, scalar_funcs,
-                dedup, similarity, text_analysis, multimodal):
+    # ≤ 50 entries total so the driver's correctness window checks
+    # EVERY catalog row (round 1 registered 58 and the last 8 were
+    # never driver-verified); registration order is flagship-first.
+    for mod in (fulltext, incremental_ops, sinks, text_analysis,
+                multimodal, dedup, similarity, scalar_funcs, relational):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair

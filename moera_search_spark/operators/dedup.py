@@ -4,11 +4,13 @@ reference's revision-dedup semantics (reference:
 scanner/ingest/PostingIngest.java:140-146,177-184 skips re-indexing
 unchanged revisions; our exact-dup fingerprint is the batch analogue).
 
-Exact and n-gram-Jaccard dedup have DuckDB oracle twins.  MinHash-LSH
-and SimHash use md5-derived 60-bit integer hashes (deterministic,
-reproducible in pure python for the pytest oracle) — they are listed
-without SQL oracles (driver runs the weaker rows-only check) and are
-verified in tests/test_dedup.py instead.
+Exact, n-gram-Jaccard, SimHash and embedding-cosine dedup have DuckDB
+oracle twins.  MinHash-LSH and SimHash use md5-derived 48-bit integer
+hashes (deterministic, reproducible in pure python for the pytest
+oracle AND in DuckDB via CAST('0x'||hex AS BIGINT)); only MinHash-LSH
+is listed without a SQL oracle (the banded min-per-permutation
+signature is not reasonably ANSI-SQL-expressible — driver runs the
+rows-only check) and is value-verified in tests/test_dedup.py.
 
 Scale notes: every variant is a shuffle-on-key plan — fingerprint
 groupBy (exact), shingle-join restricted to shared shingles (Jaccard),
@@ -26,6 +28,15 @@ _PERM_A = [3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61]
 _PERM_B = [5, 9, 15, 21, 25, 27, 33, 35, 39, 45, 49, 51, 55, 57, 63, 65]
 
 JACCARD_THRESHOLD = 0.2
+
+# df-cap for the n-gram candidate join: shingles appearing in more
+# documents than this are dropped BEFORE pairing.  The shared-shingle
+# pair space is Σ_s df(s)², so one stopword bigram ("of the") in 1% of
+# a 10^12-doc corpus would alone create 10^16 pairs; capping df bounds
+# every shingle's pair contribution at CAP² while losing ~no Jaccard
+# signal (a shingle in >CAP docs separates nothing).  The cap is part
+# of the operator's definition and mirrored exactly in the oracle.
+SHINGLE_DF_CAP = 100
 
 
 def _docs(spark, sf_dir):
@@ -96,10 +107,16 @@ _BIGRAMS_SQL = """
 
 def dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup: candidate pairs are docs sharing ≥1
-    shingle (the join restricts the pair space); J = |∩|/|∪| exact."""
+    *discriminative* shingle — shingles with df > SHINGLE_DF_CAP are
+    dropped first (see the cap's rationale above), so the pair space
+    is bounded by Σ_{df(s)≤CAP} df(s)² ≤ CAP · Σ df(s); J = |∩|/|∪|
+    exact over the capped shingle sets."""
     from pyspark.sql import functions as F
 
-    sh = _bigrams(spark, sf_dir)
+    raw = _bigrams(spark, sf_dir)
+    hot = (raw.groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > SHINGLE_DF_CAP).select("shingle"))
+    sh = raw.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -126,10 +143,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
     {_BIGRAMS_SQL},
-    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, shingle FROM shingles
+      WHERE shingle IN (SELECT shingle FROM shingles
+                        GROUP BY shingle
+                        HAVING count(*) <= {SHINGLE_DF_CAP})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM shingles a JOIN shingles b
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b,
@@ -199,14 +221,19 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
     # Verify with exact Jaccard computed ONLY for candidate pairs —
     # the whole point of banding is that verification cost scales with
-    # |candidates|, never with the all-pairs shingle join.
+    # |candidates|, never with the all-pairs shingle join.  The
+    # candidate set joins by SHUFFLE on doc_id: at corpus scale it is
+    # unbounded (GBs for a duplicate-heavy crawl), so broadcasting it
+    # would OOM the executors; the shuffle key (cand_a, then cand_b+s)
+    # is already the join key, so this costs two hash exchanges of the
+    # candidate pairs, not a replicated copy per task.
     sh = _bigrams(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sh_a = sh.select(F.col("doc_id").alias("cand_a"),
                      F.col("shingle").alias("s"))
     sh_b = sh.select(F.col("doc_id").alias("cand_b"),
                      F.col("shingle").alias("s"))
-    inter = (F.broadcast(cand).join(sh_a, "cand_a")
+    inter = (cand.join(sh_a, "cand_a")
              .join(sh_b, ["cand_b", "s"])
              .groupBy("cand_a", "cand_b")
              .agg(F.count("*").alias("inter")))
@@ -252,6 +279,38 @@ def dedup_simhash(spark, sf_dir, bits: int = 32):
     return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+def _simhash_sql(bits: int = 32) -> str:
+    """DuckDB twin of dedup_simhash — same md5-derived 48-bit token
+    hash (CAST('0x'||hex AS BIGINT)), same per-bit ±tf sums, same sign
+    fold; converts the entry from rows-only to full hash verification
+    (the pure-python oracle in tests stays as belt-and-braces)."""
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(bits))
+    fold = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents) WHERE tok <> ''),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    h AS (SELECT doc_id, tf,
+                 CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h
+          FROM tf),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fold} AS BIGINT) AS simhash FROM bits
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
 def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.45):
     """Embedding near-dup: pairs with cosine ≥ threshold.  Brute-force
     pair join at test scale; the production path buckets by LSH first
@@ -294,7 +353,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),  # rows-only check
-    "dedup_simhash": (dedup_simhash, None),          # rows-only check
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine":
         (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
 }

@@ -234,19 +234,29 @@ FTS_PREFIX_MATCH_SQL = f"""
 
 
 def fts_by_hashtag_keyset(spark, sf_dir):
-    """The by-hashtag entry point: tag predicate + keyset ("moment")
-    pagination — `moment <= before ORDER BY moment DESC LIMIT n`
-    (reference: EntryRepository.findEntriesByHashtag,
-    EntryRepository.java:60-207; slice bookkeeping
-    SearchEntriesController.java:77-79,104-118).  The tag match is the
-    MARKED_WITH semi-join collapsed onto the text column; the moment
-    key here is doc_id."""
+    """The by-hashtag entry point: hashtag membership + keyset
+    ("moment") pagination — `moment <= before ORDER BY moment DESC
+    LIMIT n` (reference: EntryRepository.findEntriesByHashtag,
+    EntryRepository.java:60-207; the entry-[:MARKED_WITH]->hashtag
+    match at :79-93; slice bookkeeping
+    SearchEntriesController.java:77-79,104-118).
+
+    The MARKED_WITH existential is expressed in the reference's own
+    shape: hashtags are extracted into an ARRAY column and the tag
+    predicate is ``array_contains`` membership against it (the
+    array-membership semi-join), not a text regex.  Documents get a
+    synthetic leading ``#<source>`` tag so the extraction has matches;
+    the moment key here is doc_id."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     before = 400
+    tagged = F.concat(F.lit("#"), F.col("source"), F.lit(" "),
+                      F.col("text"))
+    tags = F.regexp_extract_all(tagged, F.lit(r"#[a-z0-9_]+"), 0)
     return (docs
-            .filter(F.col("text").rlike("data"))
+            .withColumn("tags", tags)
+            .filter(F.array_contains("tags", "#src1"))
             .filter(F.col("doc_id") <= before)
             .orderBy(F.desc("doc_id"))
             .limit(20)
@@ -255,9 +265,100 @@ def fts_by_hashtag_keyset(spark, sf_dir):
 
 FTS_BY_HASHTAG_KEYSET_SQL = """
     SELECT doc_id, lang FROM documents
-    WHERE regexp_matches(text, 'data') AND doc_id <= 400
+    WHERE list_contains(regexp_extract_all('#' || source || ' ' || text,
+                                           '#[a-z0-9_]+'), '#src1')
+      AND doc_id <= 400
     ORDER BY doc_id DESC LIMIT 20
 """
+
+
+def fts_bm25_lang_routed(spark, sf_dir):
+    """Query-language field routing (reference:
+    index/LanguageAnalyzer.java:21-48 detects the query language and
+    searches that language's twin fields; doc/mappings.txt:45-56
+    declares the english+russian analyzer twins on every text field).
+
+    SQL-parity restatement: documents are partitioned into per-language
+    *fields* by their ``lang`` metadata; each field is analyzed with its
+    own stop set (the twin-analyzer divergence, here the Lucene English
+    stop set for the 'en' field); the query's language is detected
+    driver-side (``analyzer.detect_language``, Cyrillic-script signal)
+    and BM25 runs against ONLY the routed field with field-local
+    corpus statistics (N, df, dl, avgdl) — exactly Lucene's per-field
+    stats under multi-fields.  The engine-grade path (full Snowball
+    russian chain + ``bilingual`` twin-term index) lives in
+    analyzer.py/russian.py/query.py and is verified by pytest RU/EN
+    goldens + rank-identity; this entry cross-checks the routing and
+    field-local-stats semantics against DuckDB."""
+    from pyspark.sql import functions as F
+
+    from ..analyzer import ENGLISH_STOPWORDS, detect_language
+
+    qlang = detect_language(" ".join(QUERY_TERMS))   # → 'en'
+    stops = sorted(ENGLISH_STOPWORDS)
+    field_toks = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == qlang)
+        .select("doc_id",
+                F.explode(F.split(F.lower("text"), "[^a-z0-9]+"))
+                .alias("term"))
+        .filter(F.col("term") != "")
+        .filter(~F.col("term").isin(stops))
+    )
+    dl = field_toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    qt = field_toks.filter(F.col("term").isin(QUERY_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (F.col("tf") + 1.2 * (1.0 - 0.75
+                                    + 0.75 * F.col("dl") / F.col("avgdl"))))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        (F.round(F.sum("contrib") * 1e6)).cast("long").alias("score_e6"))
+    return scored.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(K)
+
+
+def _lang_routed_sql():
+    from ..analyzer import ENGLISH_STOPWORDS
+
+    stops = ", ".join(repr(s) for s in sorted(ENGLISH_STOPWORDS))
+    terms = ", ".join(repr(t) for t in QUERY_TERMS)
+    # the routing decision (query language = 'en') is constant-folded
+    # here: DuckDB sees the already-routed field, as Lucene would
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents WHERE lang = 'en'
+      ) WHERE term <> '' AND term NOT IN ({stops})),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({terms}) GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           CAST(round(sum(
+             ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (1 - 0.75
+                                       + 0.75 * dl.dl / corpus.avgdl))
+           ) * 1e6) AS BIGINT) AS score_e6
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+    GROUP BY tf.doc_id
+    ORDER BY score_e6 DESC, tf.doc_id LIMIT {K}
+"""
+
+
+FTS_BM25_LANG_ROUTED_SQL = _lang_routed_sql()
 
 
 QUERIES = {
@@ -268,6 +369,8 @@ QUERIES = {
     "fts_doc_lengths": (fts_doc_lengths, FTS_DOC_LENGTHS_SQL),
     "fts_bm25_topk": (fts_bm25_topk, FTS_BM25_TOPK_SQL),
     "fts_bm25_filtered": (fts_bm25_filtered, FTS_BM25_FILTERED_SQL),
+    "fts_bm25_lang_routed": (fts_bm25_lang_routed,
+                             FTS_BM25_LANG_ROUTED_SQL),
     "fts_conjunctive_and": (fts_conjunctive_and, FTS_CONJUNCTIVE_AND_SQL),
     "fts_prefix_match": (fts_prefix_match, FTS_PREFIX_MATCH_SQL),
 }

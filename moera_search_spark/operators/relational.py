@@ -113,19 +113,27 @@ def filter_visibility_default(spark, sf_dir):
     """Anonymous-visibility predicate: absent principal defaults to
     public — ``coalesce(viewPrincipal,'public')='public'``
     (reference: Index.java:374-385; EntryRepository.java:150-152).
-    ``tool``-less events stand in for principal-less entries."""
+    'view' events model entries with NO stored principal (NULL), so
+    the coalesce default branch is live on real rows — null-principal
+    rows surface as 'public' and pass the filter."""
     from pyspark.sql import functions as F
 
     ev = _t(spark, sf_dir, "events")
-    return (ev.select("event_id",
-                      F.coalesce(F.col("event_type"), F.lit("view"))
-                      .alias("etype"))
-            .filter(F.col("etype").isin(["view", "click"])))
+    principal = F.when(F.col("event_type") == "view", None) \
+        .otherwise(F.col("event_type"))
+    vis = F.coalesce(principal, F.lit("public"))
+    return (ev.select("event_id", vis.alias("visibility"))
+            .filter(F.col("visibility").isin(["public", "click"])))
 
 
 FILTER_VISIBILITY_DEFAULT_SQL = """
-    SELECT event_id, coalesce(event_type, 'view') AS etype FROM events
-    WHERE coalesce(event_type, 'view') IN ('view', 'click')
+    SELECT event_id,
+           coalesce(CASE WHEN event_type = 'view' THEN NULL
+                         ELSE event_type END, 'public') AS visibility
+    FROM events
+    WHERE coalesce(CASE WHEN event_type = 'view' THEN NULL
+                        ELSE event_type END, 'public')
+          IN ('public', 'click')
 """
 
 
@@ -240,25 +248,6 @@ JOIN_TWO_HOP_DISTINCT_SQL = """
 """
 
 
-def join_union_dedup(spark, sf_dir):
-    """UNION of subqueries + dedupe (PostingRepository.java:543-549):
-    favors-by-friends ∪ favors-by-System → distinct."""
-    from pyspark.sql import functions as F
-
-    c = _t(spark, sf_dir, "customer")
-    a = c.filter(F.col("c_mktsegment") == "BUILDING")
-    b = c.filter(F.col("c_acctbal") > 9000.0)
-    return a.select("c_custkey").unionByName(
-        b.select("c_custkey")).distinct()
-
-
-JOIN_UNION_DEDUP_SQL = """
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    UNION
-    SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
-"""
-
-
 def join_fanout_ids(spark, sf_dir):
     """UNWIND id-list fan-out join (EntryRepository.java:219-228):
     hydrate N documents by id — broadcast the tiny id list."""
@@ -300,32 +289,14 @@ AGG_COUNT_DAY_WINDOW_SQL = f"""
 """
 
 
-def agg_decayed_popularity(spark, sf_dir):
-    """Decayed-sum popularity: Σ value·(1 − (age_h/decay_h)²)
-    (reference: PostingRepository.java:680-690).  Per-row contribution
-    rounded to integer micro-units before summing → exact cross-engine."""
-    from pyspark.sql import functions as F
-
-    ev = _t(spark, sf_dir, "events")
-    age_h = (F.lit(NOW_MS) - F.unix_millis(F.col("ts").cast("timestamp"))) / 3600000.0
-    contrib = F.col("value") * (1.0 - F.pow(age_h / DECAY_HOURS, 2))
-    return ev.groupBy("user_id").agg(
-        F.sum(F.round(contrib * 1e6).cast("long")).alias("popularity_e6"))
-
-
-AGG_DECAYED_POPULARITY_SQL = f"""
-    SELECT user_id,
-           CAST(sum(CAST(round(value * (1 - power(
-             ({NOW_MS} - epoch_ms(ts)) / 3600000.0 / {DECAY_HOURS}, 2))
-             * 1e6) AS BIGINT)) AS BIGINT) AS popularity_e6
-    FROM events GROUP BY user_id
-"""
-
-
 def agg_two_track_decay(spark, sf_dir):
-    """Two-track decayed sums — commentPopularity + commentFad with
-    clamped-at-zero track (PostingRepository.java:703-715:
-    Σ rest and Σ max(value·(1−ratio²·9), 0))."""
+    """Two-track decayed sums — the decayed-sum popularity aggregate
+    (PostingRepository.java:680-690: Σ value·(1 − (age_h/decay_h)²))
+    plus the clamped-at-zero fad track (PostingRepository.java:703-715:
+    Σ max(value·(1−ratio²·9), 0)).  The popularity column IS the
+    single-track decayed sum; the second column adds the clamp.
+    Per-row contributions are rounded to integer micro-units before
+    summing → exact cross-engine regardless of reduction order."""
     from pyspark.sql import functions as F
 
     ev = _t(spark, sf_dir, "events")
@@ -353,15 +324,22 @@ AGG_TWO_TRACK_DECAY_SQL = f"""
 
 def agg_recommendation_order(spark, sf_dir):
     """recommendationOrder = createdAt + tanh((r + 5c + 25·ob)/35)·600000
-    (reference: PostingRepository.java:54-62, apoc.math.tanh).  tanh is
-    written as (e^{2x}−1)/(e^{2x}+1) on BOTH engines so the doubles are
-    bit-comparable."""
+    — the FULL reference formula (PostingRepository.java:54-62,
+    apoc.math.tanh): r = reactions, c = comments (weighted 5×),
+    ob = owner-boost flag (weighted 25×).  Mapped as r = lineitems per
+    order, c = returned lineitems (l_returnflag='R'), ob = urgent
+    priority.  tanh is written as (e^{2x}−1)/(e^{2x}+1) on BOTH
+    engines so the doubles are bit-comparable."""
     from pyspark.sql import functions as F
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("r"))
-    x = (F.col("r") + 5.0) / 35.0
+    counts = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("r"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("c"))
+    ob = F.when(F.col("o_orderpriority").startswith("1"), 1.0) \
+        .otherwise(0.0)
+    x = (F.col("r") + 5.0 * F.col("c") + 25.0 * ob) / 35.0
     tanh = (F.exp(2.0 * x) - 1.0) / (F.exp(2.0 * x) + 1.0)
     return (
         o.join(counts, o.o_orderkey == counts.l_orderkey)
@@ -373,12 +351,18 @@ def agg_recommendation_order(spark, sf_dir):
 
 
 AGG_RECOMMENDATION_ORDER_SQL = """
-    WITH counts AS (SELECT l_orderkey, count(*) AS r FROM lineitem
-                    GROUP BY l_orderkey)
+    WITH counts AS (
+      SELECT l_orderkey, count(*) AS r,
+             count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS c
+      FROM lineitem GROUP BY l_orderkey)
     SELECT o_orderkey,
            epoch_ms(o_orderdate)
-           + CAST(round((exp(2 * (r + 5.0) / 35.0) - 1)
-                        / (exp(2 * (r + 5.0) / 35.0) + 1) * 600000.0)
+           + CAST(round((exp(2 * (r + 5.0 * c + 25.0 *
+                  CASE WHEN o_orderpriority LIKE '1%' THEN 1.0
+                       ELSE 0.0 END) / 35.0) - 1)
+                        / (exp(2 * (r + 5.0 * c + 25.0 *
+                  CASE WHEN o_orderpriority LIKE '1%' THEN 1.0
+                       ELSE 0.0 END) / 35.0) + 1) * 600000.0)
                   AS BIGINT) AS rec_order
     FROM orders JOIN counts ON o_orderkey = l_orderkey
 """
@@ -419,23 +403,6 @@ AGG_CLOSENESS_DISTANCE_SQL = f"""
 
 
 # ------------------------------------------------------- ranking / paging
-
-def rank_topk_by_field(spark, sf_dir):
-    """Top-k by stored field with deterministic tie-break
-    (PostingRepository.java:494-503 ORDER BY … DESC LIMIT) —
-    Spark plans this as TakeOrderedAndProject."""
-    from pyspark.sql import functions as F
-
-    o = _t(spark, sf_dir, "orders")
-    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-            .select("o_orderkey", "o_totalprice").limit(20))
-
-
-RANK_TOPK_BY_FIELD_SQL = """
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-"""
-
 
 def rank_keyset_pagination(spark, sf_dir):
     """Keyset ("moment") pagination: before-exclusive bound, DESC order,
@@ -486,7 +453,10 @@ RANK_MOMENT_ALLOCATION_SQL = """
 
 def rank_two_key_ordering(spark, sf_dir):
     """Two-key ordering with coalesce — ORDER BY coalesce(fad,0) DESC,
-    popularity DESC (PostingRepository.java:522)."""
+    popularity DESC (PostingRepository.java:522); also the top-k-by-
+    stored-field pattern (PostingRepository.java:494-503 ORDER BY …
+    DESC LIMIT) — Spark plans the whole thing as a distributed
+    TakeOrderedAndProject, no global sort."""
     from pyspark.sql import functions as F
 
     ev = _t(spark, sf_dir, "events")
@@ -507,17 +477,27 @@ RANK_TWO_KEY_ORDERING_SQL = """
 
 def rank_offset_stitching(spark, sf_dir):
     """Stratified paging: walk strata in priority order carrying the
-    offset remainder (SearchNodesController.java:262-312) — union of
-    ranked strata + global row_number offset/limit window."""
+    offset remainder (SearchNodesController.java:262-312).
+
+    Scale shape: the page bound is offset+limit = 30, and the global
+    order walks whole strata first, so each stratum only ever
+    contributes its own top-30 — taken per-stratum with a distributed
+    ``TakeOrderedAndProject`` (orderBy+limit).  The single-partition
+    row_number window then runs over ≤ 60 rows, never the full table
+    (the round-1 plan funneled every stratum row through one task)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     c = _t(spark, sf_dir, "customer")
-    s1 = c.filter(F.col("c_mktsegment") == "BUILDING") \
-        .withColumn("stratum", F.lit(1))
-    s2 = c.filter(F.col("c_mktsegment") == "AUTOMOBILE") \
-        .withColumn("stratum", F.lit(2))
-    both = s1.unionByName(s2)
+    bound = 30
+
+    def stratum(segment, tag):
+        return (c.filter(F.col("c_mktsegment") == segment)
+                .select("c_custkey", "c_name")
+                .orderBy("c_name", "c_custkey").limit(bound)
+                .withColumn("stratum", F.lit(tag)))
+
+    both = stratum("BUILDING", 1).unionByName(stratum("AUTOMOBILE", 2))
     w = Window.orderBy("stratum", "c_name", "c_custkey")
     return (both.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter((F.col("rank") > 10) & (F.col("rank") <= 30))
@@ -559,18 +539,14 @@ QUERIES = {
     "join_left_optional": (join_left_optional, JOIN_LEFT_OPTIONAL_SQL),
     "join_two_hop_distinct":
         (join_two_hop_distinct, JOIN_TWO_HOP_DISTINCT_SQL),
-    "join_union_dedup": (join_union_dedup, JOIN_UNION_DEDUP_SQL),
     "join_fanout_ids": (join_fanout_ids, JOIN_FANOUT_IDS_SQL),
     "agg_count_day_window":
         (agg_count_day_window, AGG_COUNT_DAY_WINDOW_SQL),
-    "agg_decayed_popularity":
-        (agg_decayed_popularity, AGG_DECAYED_POPULARITY_SQL),
     "agg_two_track_decay": (agg_two_track_decay, AGG_TWO_TRACK_DECAY_SQL),
     "agg_recommendation_order":
         (agg_recommendation_order, AGG_RECOMMENDATION_ORDER_SQL),
     "agg_closeness_distance":
         (agg_closeness_distance, AGG_CLOSENESS_DISTANCE_SQL),
-    "rank_topk_by_field": (rank_topk_by_field, RANK_TOPK_BY_FIELD_SQL),
     "rank_keyset_pagination":
         (rank_keyset_pagination, RANK_KEYSET_PAGINATION_SQL),
     "rank_moment_allocation":

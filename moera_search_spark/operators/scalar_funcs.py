@@ -19,84 +19,87 @@ VIDEO_RE = "(?i)<(?:object|video|iframe)"
 DECAY_HOURS = 24.0 * 30
 
 
-def func_json_decode(spark, sf_dir):
-    """JSON-in-string decode to typed column (from_json), the analogue
-    of decoding repliedTo / job-state JSON blobs."""
-    from pyspark.sql import functions as F
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (ev.select(
-        "event_id",
-        F.from_json("props", "k int")["k"].cast("long").alias("k"))
-        .filter(F.col("k") > 50))
-
-
-FUNC_JSON_DECODE_SQL = """
-    SELECT event_id,
-           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
-    FROM events
-    WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) > 50
-"""
-
-
-def func_epoch_roundtrip(spark, sf_dir):
-    """Epoch-seconds and -millis from timestamps (Util.toTimestamp /
-    toEpochSecond mixed units, doc/schema.txt:54 vs :58)."""
+def func_scalar_codecs(spark, sf_dir):
+    """Scalar codec bundle over events: JSON-in-string decode to a
+    typed column (from_json — the analogue of decoding repliedTo /
+    job-state JSON blobs, data/EntryRepository.java:332-335,
+    job/Jobs.java:245-246) + epoch-seconds and -millis conversion
+    (Util.toTimestamp / toEpochSecond mixed units, doc/schema.txt:54
+    vs :58) in one projection."""
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts = F.col("ts").cast("timestamp")   # parquet NTZ → session-UTC ts
     return ev.select(
         "event_id",
+        F.from_json("props", "k int")["k"].cast("long").alias("k"),
         F.unix_timestamp(ts).alias("epoch_s"),
         (F.unix_millis(ts)).alias("epoch_ms"),
     ).orderBy("event_id").limit(1000)
 
 
-FUNC_EPOCH_ROUNDTRIP_SQL = """
+FUNC_SCALAR_CODECS_SQL = """
     SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
            epoch_us(ts) // 1000000 AS epoch_s,
            epoch_us(ts) // 1000 AS epoch_ms
     FROM events ORDER BY event_id LIMIT 1000
 """
 
 
-def func_video_detect(spark, sf_dir):
-    """Video-presence regex over body text (BodyUtil.mediaInText)."""
-    from pyspark.sql import functions as F
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        "doc_id",
-        F.col("text").rlike(VIDEO_RE).alias("video_present"))
-
-
-FUNC_VIDEO_DETECT_SQL = f"""
-    SELECT doc_id,
-           regexp_matches(text, '{VIDEO_RE}') AS video_present
-    FROM documents
-"""
-
-
-def func_base64_hex(spark, sf_dir):
-    """Base64 / hex codecs over digest-sized byte strings
-    (Util.java:31-64)."""
+def func_media_codecs(spark, sf_dir):
+    """Media/body scalar bundle over documents: video-presence regex
+    (BodyUtil.mediaInText, util/BodyUtil.java:17,50) + base64 / hex
+    codecs over digest-sized byte strings (Util.java:31-64)."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     frag = F.substring("text", 1, 8).cast("binary")
     return docs.select(
         "doc_id",
+        F.col("text").rlike(VIDEO_RE).alias("video_present"),
         F.base64(frag).alias("b64"),
         F.hex(frag).alias("hx"),
     ).filter(F.length("text") >= 8)
 
 
-FUNC_BASE64_HEX_SQL = """
+FUNC_MEDIA_CODECS_SQL = f"""
     SELECT doc_id,
+           regexp_matches(text, '{VIDEO_RE}') AS video_present,
            base64(encode(substr(text, 1, 8))) AS b64,
            upper(hex(encode(substr(text, 1, 8)))) AS hx
     FROM documents WHERE length(text) >= 8
+"""
+
+
+def func_array_append_remove(spark, sf_dir):
+    """Array append (if absent) / remove — the sheriffMarks list
+    management (reference: data/PostingRepository.java:259-290:
+    sheriffMark appends the sheriff to the marks list only when
+    missing = array_union; sheriffUnmark filters it out =
+    array_remove).  Arrays are sorted + joined to strings so the
+    cross-engine value hash is representation-independent."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    marks = F.array("lang", "source")
+    appended = F.array_union(marks, F.array(F.lit("sheriff:g-play")))
+    removed = F.array_remove(marks, "en")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(appended), ",").alias("marked"),
+        F.array_join(F.array_sort(removed), ",").alias("unmarked"))
+
+
+FUNC_ARRAY_APPEND_REMOVE_SQL = """
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             list_concat([lang, source], ['sheriff:g-play']))), ',')
+             AS marked,
+           array_to_string(list_sort(
+             list_filter([lang, source], x -> x <> 'en')), ',')
+             AS unmarked
+    FROM documents
 """
 
 
@@ -122,7 +125,12 @@ FILTER_SHERIFF_MARKS_SQL = """
 
 def agg_node_activity(spark, sf_dir):
     """Node activity: Σ (1 − (age_h / decayHours)²) over recent events
-    per user (NodeRepository.java:595-617; constants Workload.java:39-41)."""
+    per user (NodeRepository.java:595-617; constants Workload.java:39-41).
+
+    Per-row contributions are rounded to integer micro-units BEFORE
+    the sum, so the aggregate is an exact int64 — immune to the
+    nondeterministic partial-agg float-sum order that could flip a
+    round-after-sum value near a .5 boundary cross-engine."""
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -130,13 +138,13 @@ def agg_node_activity(spark, sf_dir):
     # microsecond-exact age so the DuckDB oracle (epoch_us) matches
     age_h = (F.unix_micros(F.col("now").cast("timestamp"))
              - F.unix_micros(F.col("ts").cast("timestamp"))) / 3.6e9
+    contrib = 1.0 - F.pow(F.col("age_h") / DECAY_HOURS, 2)
     return (ev.crossJoin(F.broadcast(now))
             .withColumn("age_h", age_h)
             .filter(F.col("age_h") < DECAY_HOURS)
             .groupBy("user_id")
-            .agg((F.round(F.sum(
-                1.0 - F.pow(F.col("age_h") / DECAY_HOURS, 2)) * 1e6))
-                .cast("long").alias("activity_e6")))
+            .agg(F.sum(F.round(contrib * 1e6).cast("long"))
+                 .alias("activity_e6")))
 
 
 AGG_NODE_ACTIVITY_SQL = f"""
@@ -146,8 +154,8 @@ AGG_NODE_ACTIVITY_SQL = f"""
              (epoch_us(now.now) - epoch_us(ts)) / 3.6e9 AS age_h
       FROM events, now)
     SELECT user_id,
-           CAST(round(sum(1.0 - (age_h / {DECAY_HOURS})^2) * 1e6) AS BIGINT)
-             AS activity_e6
+           CAST(sum(CAST(round((1.0 - (age_h / {DECAY_HOURS})^2) * 1e6)
+                         AS BIGINT)) AS BIGINT) AS activity_e6
     FROM aged WHERE age_h < {DECAY_HOURS}
     GROUP BY user_id
 """
@@ -157,22 +165,32 @@ def rank_suggestions_merge(spark, sf_dir):
     """Strata merge with dedup: two ranked candidate lists (the
     by-name / by-full-name suggestion queries) unioned, first stratum
     wins duplicates, interleaved by per-stratum rank
-    (SearchNodesController.java:146-180 dedup via HashSet used)."""
+    (SearchNodesController.java:146-180 dedup via HashSet used); the
+    union+distinct of candidate subqueries
+    (PostingRepository.java:543-549) is the same shape.
+
+    Scale shape: each stratum's candidates are cut to its page depth
+    (20) FIRST with a distributed orderBy+limit
+    (``TakeOrderedAndProject``); the per-stratum rank window then runs
+    over ≤ 20 rows instead of funnelling the whole stratum through a
+    single-partition global window (the round-1 plan's weakness)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    s1 = (docs.filter(F.col("source") == "src1")
-          .withColumn("stratum", F.lit(1))
-          .withColumn("rn", F.row_number().over(
-              Window.partitionBy(F.lit(1))
-              .orderBy(F.desc("n_chars"), F.asc("doc_id")))))
-    s2 = (docs.filter(F.col("lang") == "en")
-          .withColumn("stratum", F.lit(2))
-          .withColumn("rn", F.row_number().over(
-              Window.partitionBy(F.lit(1))
-              .orderBy(F.asc("n_chars"), F.asc("doc_id")))))
-    both = s1.unionByName(s2).filter(F.col("rn") <= 20)
+
+    def stratum(pred_df, tag, order_cols):
+        top = (pred_df.select("doc_id", "n_chars")
+               .orderBy(*order_cols).limit(20))
+        return (top.withColumn("stratum", F.lit(tag))
+                .withColumn("rn", F.row_number().over(
+                    Window.partitionBy(F.lit(1)).orderBy(*order_cols))))
+
+    s1 = stratum(docs.filter(F.col("source") == "src1"), 1,
+                 [F.desc("n_chars"), F.asc("doc_id")])
+    s2 = stratum(docs.filter(F.col("lang") == "en"), 2,
+                 [F.asc("n_chars"), F.asc("doc_id")])
+    both = s1.unionByName(s2).drop("n_chars")
     first = (both.withColumn("pick", F.row_number().over(
         Window.partitionBy("doc_id").orderBy("stratum")))
         .filter(F.col("pick") == 1))
@@ -205,11 +223,10 @@ RANK_SUGGESTIONS_MERGE_SQL = """
 
 
 QUERIES = {
-    "func_json_decode": (func_json_decode, FUNC_JSON_DECODE_SQL),
-    "func_epoch_roundtrip": (func_epoch_roundtrip,
-                             FUNC_EPOCH_ROUNDTRIP_SQL),
-    "func_video_detect": (func_video_detect, FUNC_VIDEO_DETECT_SQL),
-    "func_base64_hex": (func_base64_hex, FUNC_BASE64_HEX_SQL),
+    "func_scalar_codecs": (func_scalar_codecs, FUNC_SCALAR_CODECS_SQL),
+    "func_media_codecs": (func_media_codecs, FUNC_MEDIA_CODECS_SQL),
+    "func_array_append_remove": (func_array_append_remove,
+                                 FUNC_ARRAY_APPEND_REMOVE_SQL),
     "filter_sheriff_marks": (filter_sheriff_marks,
                              FILTER_SHERIFF_MARKS_SQL),
     "agg_node_activity": (agg_node_activity, AGG_NODE_ACTIVITY_SQL),

@@ -221,6 +221,7 @@ QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "ann_lsh_bucket_topk": (ann_lsh_bucket_topk, ANN_LSH_BUCKET_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, None),   # python oracle in tests
-    "ann_bucket_histogram":
-        (ann_bucket_histogram, ANN_BUCKET_HISTOGRAM_SQL),
+    # ann_bucket_histogram stays as a helper (prune-selectivity
+    # diagnostic, oracle-checked in tests) but is not a catalog row —
+    # keeps the catalog inside the driver's checked window.
 }

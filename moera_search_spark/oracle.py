@@ -26,8 +26,7 @@ from collections import Counter
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-from .analyzer import analyze
-from .porter import MemoStemmer
+from .analyzer import analyze, analyze_query, make_stemmer
 
 K1 = 1.2
 B = 0.75
@@ -65,7 +64,7 @@ class OracleIndex:
 
     def add(self, doc_id: int, text: str | None,
             attrs: dict[str, Any] | None = None) -> None:
-        stemmer = MemoStemmer()
+        stemmer = make_stemmer(self.mode)
         counts = Counter(analyze(text, mode=self.mode, _stemmer=stemmer))
         self.doc_len[doc_id] = sum(counts.values())
         self.attrs[doc_id] = attrs or {}
@@ -85,7 +84,7 @@ class OracleIndex:
         terms are deduplicated (Lucene scores each unique term once per
         BooleanQuery clause deduplication).
         """
-        q_terms = sorted(set(analyze(query_text, mode=self.mode)))
+        q_terms = sorted(set(analyze_query(query_text, mode=self.mode)))
         if not q_terms or not self.doc_len:
             return []
         n, avgdl = self.n_docs, self.avgdl

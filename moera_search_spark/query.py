@@ -44,7 +44,7 @@ import numpy as np
 import pandas as pd
 
 from . import manifest as mf
-from .analyzer import analyze
+from .analyzer import analyze_query
 from .oracle import bm25_idf
 
 DECODED_SCHEMA = "term string, doc_id long, contrib double"
@@ -96,10 +96,17 @@ class FTSIndex:
         self.b = float(config["b"])
         self.chunk_size = int(config["chunk_size"])
         self.n_term_buckets = int(config.get("n_term_buckets", 16))
-        corpus = pd.read_parquet(
-            os.path.join(index_dir, "corpus_stats")).iloc[0]
-        self.n_docs = int(corpus["n_docs"])
-        self.avgdl = float(corpus["avgdl"])
+        if "corpus" in config:
+            # committed with the config save (the crash-atomic source
+            # of truth); the corpus_stats parquet is a derived cache
+            self.n_docs = int(config["corpus"]["n_docs"])
+            total_dl = int(config["corpus"]["total_dl"])
+            self.avgdl = (total_dl / self.n_docs) if self.n_docs else 0.0
+        else:
+            corpus = pd.read_parquet(
+                os.path.join(index_dir, "corpus_stats")).iloc[0]
+            self.n_docs = int(corpus["n_docs"])
+            self.avgdl = float(corpus["avgdl"])
 
     @property
     def docs(self):
@@ -133,7 +140,11 @@ class FTSIndex:
     # -- query pieces -------------------------------------------------
 
     def query_terms(self, query_text: str) -> list[str]:
-        return sorted(set(analyze(query_text, mode=self.mode)))
+        """Analyzed query terms.  Under ``bilingual`` mode this routes
+        the query to ONE language twin field (detect → analyze with
+        that chain → ``en>``/``ru>`` namespace), the reference's
+        query-language field routing (LanguageAnalyzer.java:42-48)."""
+        return sorted(set(analyze_query(query_text, mode=self.mode)))
 
     def idf_map(self, q_terms: list[str]) -> dict[str, float]:
         """df lookup for the (tiny) query term set → Lucene idf.
@@ -264,38 +275,52 @@ class FTSIndex:
         # computed with the encoding segment's avgdl; tfnorm is
         # increasing in avgdl, so scaling by avgdl_now/min_encode_avgdl
         # (when > 1) keeps every bound a true upper bound.
+        # idf can go NEGATIVE under delta semantics (N is live and
+        # decremented on delete, df is segment-summed and not — so
+        # df > N after deleting most docs containing a term, and
+        # (N+1)/(df+0.5) < 1).  A negative idf times max_tfnorm is a
+        # LOWER bound; the admissible per-term chunk bound is then 0
+        # (a chunk doc missing the term contributes exactly 0, one
+        # containing it contributes idf·tfnorm < 0), so clamp.
         min_enc = float(self.config.get("min_encode_avgdl", self.avgdl)
                         or self.avgdl)
         factor = max(1.0, self.avgdl / min_enc) if min_enc > 0 else 1.0
         cand = (postings_sel
                 .withColumn("chunk", (F.col("first_doc_id")
                                       / self.chunk_size).cast("long"))
-                .withColumn("ub", idf_expr[F.col("term")]
-                            * F.col("max_tfnorm") * F.lit(factor)))
+                .withColumn("ub", F.greatest(
+                    idf_expr[F.col("term")] * F.col("max_tfnorm")
+                    * F.lit(factor), F.lit(0.0))))
         bounds = (cand.groupBy("chunk", "term")
                   .agg(F.max("ub").alias("tub"))
                   .groupBy("chunk").agg(F.sum("tub").alias("bound")))
-        seed = [int(r["chunk"]) for r in
-                bounds.orderBy(F.desc("bound"), F.asc("chunk"))
-                .limit(seed_chunks).collect()]
-        if not seed:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double")
+        # Driver-round-trip budget: BMW needs θ on the driver before
+        # the rest-pass can prune, so the floor is TWO actions.  Seed
+        # selection is fused INTO the seed-scoring action (the ranked
+        # chunk list stays a broadcast subplan instead of a separate
+        # collect — round 1 paid a third driver round-trip for it).
+        seed_sel = (bounds.orderBy(F.desc("bound"), F.asc("chunk"))
+                    .limit(seed_chunks).select("chunk"))
         seed_scored = self._score(
-            cand.filter(F.col("chunk").isin(seed)), idf, filters)
+            cand.join(F.broadcast(seed_sel), "chunk", "left_semi"),
+            idf, filters)
         # One scoring pass over the seed chunks: its top-k both sets
         # θ and stands in for the whole seed in the final merge (any
         # doc of the global top-k that lives in a seed chunk is by
         # definition inside the seed's own top-k).
         seed_topk = (seed_scored
                      .orderBy(F.desc("score"), F.asc("doc_id"))
-                     .limit(k).collect())
+                     .limit(k).collect())                  # action 1
         theta = float(seed_topk[-1]["score"]) \
             if len(seed_topk) >= k else 0.0
         seed_local = self.spark.createDataFrame(
             [(int(r["doc_id"]), float(r["score"])) for r in seed_topk],
             "doc_id long, score double")
-        rest_chunks = (bounds.filter(~F.col("chunk").isin(seed))
+        # Rest pass (action 2, triggered by the caller): re-derive the
+        # ranked seed set from the (metadata-only, cheap) bounds plan
+        # and anti-join it away; only chunks whose bound clears θ are
+        # decoded.
+        rest_chunks = (bounds.join(seed_sel, "chunk", "left_anti")
                        .filter(F.col("bound") >= F.lit(theta))
                        .select("chunk"))
         rest = cand.join(F.broadcast(rest_chunks), "chunk", "left_semi")

@@ -11,8 +11,21 @@ scanner/UpdateQueue.java:53-137 — reloaded at boot :71-77, dispatched
 in ticks :98-137).
 
 Here the change-log is a directory of parquet files in the transcripts
-schema plus an ``op`` column (``upsert`` | ``delete``), consumed with
-``readStream`` + ``foreachBatch`` → ``incremental.apply_updates``:
+schema plus an ``op`` column (``upsert`` | ``delete``) and an optional
+``seq`` sequence column, consumed with ``readStream`` +
+``foreachBatch`` → ``incremental.apply_updates``:
+
+* **per-key collapse** — ``apply_updates`` resolves upserts and
+  deletes independently against the pre-batch snapshot, so a
+  micro-batch is first reduced to ONE final op per (conv_id,
+  turn_idx): the op with the highest ``seq`` (falling back to ``ts``
+  when no ``seq`` column exists) wins; at equal sequence a delete
+  wins (conservative tie-break).  This makes ordered changelog
+  sequences like [delete k, upsert k] and [upsert k, delete k] net to
+  the correct final state, and collapses duplicate upserts of one key
+  to a single revision.  Revision dedup inside ``apply_updates`` then
+  applies to that one surviving op — e.g. [delete k, re-upsert k with
+  unchanged text] correctly nets to "no change".
 
 * **ordering / exactly-once** — Structured Streaming's checkpoint
   gives monotone ``batch_id``s and at-least-once ``foreachBatch``
@@ -33,7 +46,7 @@ from __future__ import annotations
 from .incremental import KEYS, apply_updates
 
 CHANGELOG_DDL = ("conv_id string, turn_idx int, role string, text string, "
-                 "tool string, ts timestamp, op string")
+                 "tool string, ts timestamp, op string, seq long")
 
 
 def stream_updates(spark, index_dir: str, changelog_dir: str, *,
@@ -50,9 +63,19 @@ def stream_updates(spark, index_dir: str, changelog_dir: str, *,
               .parquet(changelog_dir))
 
     def handle(batch_df, batch_id: int) -> None:
-        upserts = batch_df.filter(F.col("op") == "upsert") \
-            .drop("op")
-        deletes = batch_df.filter(F.col("op") == "delete") \
+        from pyspark.sql import Window
+
+        # collapse to the final op per key (see module docstring);
+        # changelog files without a seq column read it as null →
+        # the per-row ts is the fallback sequence
+        seq = F.coalesce(F.col("seq").cast("double"),
+                         F.col("ts").cast("double"))
+        w = Window.partitionBy(*KEYS).orderBy(
+            seq.desc_nulls_last(), F.asc("op"))
+        last = (batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+        upserts = last.filter(F.col("op") == "upsert").drop("op", "seq")
+        deletes = last.filter(F.col("op") == "delete") \
             .select(*KEYS)
         apply_updates(spark, index_dir, upserts=upserts, deletes=deletes,
                       batch_id=f"{batch_prefix}-{batch_id}",

@@ -82,3 +82,25 @@ class TestIVF:
         got = {int(r["vec_id"]) for r in
                ann_ivf_topk(spark, SF_DIR).collect()}
         assert len(got) == K
+
+
+class TestBucketHistogram:
+    def test_histogram_matches_duckdb_oracle(self, spark):
+        """ann_bucket_histogram left the driver catalog (50-entry
+        window) but keeps full cross-engine verification here."""
+        import duckdb
+
+        from moera_search_spark.operators.similarity import (
+            ANN_BUCKET_HISTOGRAM_SQL,
+            ann_bucket_histogram,
+        )
+
+        got = {int(r["bucket"]): int(r["n_vecs"])
+               for r in ann_bucket_histogram(spark, SF_DIR).collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{SF_DIR}/embeddings.parquet'")
+        want = {int(b): int(n) for b, n in
+                con.execute(ANN_BUCKET_HISTOGRAM_SQL).fetchall()}
+        assert got == want and got
