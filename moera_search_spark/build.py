@@ -76,6 +76,13 @@ POSTINGS_SCHEMA_DDL = (
 
 N_TERM_BUCKETS = 16
 
+# Files per term_bucket directory (deterministic term-hash split):
+# bounds query-time file listing at n_term_buckets × this, independent
+# of build parallelism, while keeping enough files per bucket that
+# head-term decode parallelizes (parquet row groups aren't splittable
+# below file granularity at these sizes).
+POSTINGS_FILES_PER_BUCKET = 8
+
 
 def term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
     """Stable term → directory shard (same fn at build and query time)."""
@@ -358,6 +365,10 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     t_start = time.time()
     run_id = uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # AQE pays off on the build's wide shuffles (runtime coalescing);
+    # FTSIndex turns it off for the latency-sensitive query path, so
+    # re-enable here in case this session served queries before.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     if shuffle_partitions is None:
         shuffle_partitions = spark.sparkContext.defaultParallelism
 
@@ -509,20 +520,26 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         )
         # final layout: term-sharded directories (partition pruning for
         # query-time term lookups).  The encoded blocks are re-shuffled
-        # onto their term_bucket before the write so each bucket
-        # directory holds exactly ONE file — without it every encoder
-        # task writes a file into every bucket it touches
-        # (tasks × n_term_buckets small files, and query-time file
-        # listing cost grows with build parallelism).  This second
-        # exchange moves only the compressed blocks (~the index size,
-        # a small fraction of the tf rows the first shuffle carried);
-        # rows are sorted inside each bucket so term-level row-group
-        # min-max pruning works and the bytes are deterministic at any
-        # parallelism (the shuffle key (term, chunk) already fixed
-        # block contents).
+        # onto (term_bucket, term-hash split) before the write so each
+        # bucket directory holds exactly POSTINGS_FILES_PER_BUCKET
+        # files — without this every encoder task writes a file into
+        # every bucket it touches (tasks × n_term_buckets small files:
+        # query-time listing cost grows with build parallelism), while
+        # ONE file per bucket would serialize query-time decode to one
+        # task per bucket (a 3 MB single-row-group file is unsplittable).
+        # The fixed term-keyed split keeps file count AND decode
+        # parallelism deterministic at any build parallelism.  This
+        # second exchange moves only the compressed blocks (~the index
+        # size, a small fraction of the tf rows the first shuffle
+        # carried); rows are term-sorted inside each file so row-group
+        # min-max pruning still works.
+        split = F.abs(F.hash("term")) % POSTINGS_FILES_PER_BUCKET
         (encoded
-         .repartition(n_term_buckets, "term_bucket")
+         .withColumn("_split", split)
+         .repartition(n_term_buckets * POSTINGS_FILES_PER_BUCKET,
+                      "term_bucket", "_split")
          .sortWithinPartitions("term", "first_doc_id")
+         .drop("_split")
          .write.mode("overwrite").partitionBy("term_bucket")
          .parquet(os.path.join(index_dir, "postings")))
 

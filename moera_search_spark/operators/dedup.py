@@ -29,6 +29,10 @@ _PERM_B = [5, 9, 15, 21, 25, 27, 33, 35, 39, 45, 49, 51, 55, 57, 63, 65]
 
 JACCARD_THRESHOLD = 0.2
 
+# LSH verify-join broadcast ceiling: candidate-pair sets below this are
+# broadcast (≈16 B/pair → ~8 MB), larger sets shuffle-join.
+CAND_BROADCAST_MAX = 500_000
+
 # df-cap for the n-gram candidate join: shingles appearing in more
 # documents than this are dropped BEFORE pairing.  The shared-shingle
 # pair space is Σ_s df(s)², so one stopword bigram ("of the") in 1% of
@@ -221,19 +225,25 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
     # Verify with exact Jaccard computed ONLY for candidate pairs —
     # the whole point of banding is that verification cost scales with
-    # |candidates|, never with the all-pairs shingle join.  The
-    # candidate set joins by SHUFFLE on doc_id: at corpus scale it is
-    # unbounded (GBs for a duplicate-heavy crawl), so broadcasting it
-    # would OOM the executors; the shuffle key (cand_a, then cand_b+s)
-    # is already the join key, so this costs two hash exchanges of the
-    # candidate pairs, not a replicated copy per task.
+    # |candidates|, never with the all-pairs shingle join.  Join
+    # strategy is a runtime cost decision (the optimizer can't size
+    # the banding self-join output in advance): the candidate set is
+    # persisted, counted (one cheap action over the band plan), and
+    # broadcast only below CAND_BROADCAST_MAX pairs — at corpus scale
+    # a duplicate-heavy crawl's candidate set is GBs and broadcasting
+    # it would OOM the executors, so it falls back to a plain shuffle
+    # join (the pairs are already keyed on the join columns).
+    cand = cand.persist()
+    n_cand = cand.count()
+    cand_join = F.broadcast(cand) if n_cand <= CAND_BROADCAST_MAX \
+        else cand
     sh = _bigrams(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sh_a = sh.select(F.col("doc_id").alias("cand_a"),
                      F.col("shingle").alias("s"))
     sh_b = sh.select(F.col("doc_id").alias("cand_b"),
                      F.col("shingle").alias("s"))
-    inter = (cand.join(sh_a, "cand_a")
+    inter = (cand_join.join(sh_a, "cand_a")
              .join(sh_b, ["cand_b", "s"])
              .groupBy("cand_a", "cand_b")
              .agg(F.count("*").alias("inter")))

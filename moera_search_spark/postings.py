@@ -134,3 +134,32 @@ def decode_block(first_doc_id: int, deltas: bytes, tfs: bytes,
     gaps = vb_decode(deltas)
     doc_ids = np.cumsum(gaps) + first_doc_id
     return doc_ids, vb_decode(tfs), vb_decode(dls)
+
+
+def decode_blocks_batch(first_doc_ids: np.ndarray, counts: np.ndarray,
+                        deltas: list, tfs: list, dls: list,
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks in one vectorized pass.
+
+    Per-block python decoding pays ~100 µs of numpy dispatch per block
+    — on a 6k-block query that is ~1 s of pure overhead for ~10 ms of
+    actual byte work.  Varbyte is self-delimiting and per-block value
+    counts are stored (``n_docs``), so all blocks' buffers concatenate
+    into ONE ``vb_decode`` call each for gaps/tfs/dls, and doc_ids come
+    from a segmented cumsum (per-block first gap is 0 by construction,
+    so subtracting the running total at each segment start restarts the
+    sum, then the block's ``first_doc_id`` is repeated on).
+
+    Returns (doc_ids, tf, dl) int64 arrays of length ``counts.sum()``.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    gaps = vb_decode(b"".join(deltas))
+    cs = np.cumsum(gaps)
+    starts = np.empty_like(counts)
+    starts[0] = 0
+    np.cumsum(counts[:-1], out=starts[1:])
+    seg_offsets = cs[starts] - gaps[starts]
+    doc_ids = (cs - np.repeat(seg_offsets, counts)
+               + np.repeat(np.asarray(first_doc_ids, dtype=np.int64),
+                           counts))
+    return doc_ids, vb_decode(b"".join(tfs)), vb_decode(b"".join(dls))

@@ -24,8 +24,8 @@ Two scoring strategies, both rank-identical to the oracle:
   final top-k is provably unchanged.
 
 Determinism: per-doc scores are float64 sums of per-term contributions
-accumulated in sorted-term order (``array_sort(collect_list(struct(term,
-contrib)))`` + ``aggregate``), matching the oracle's reduction order
+accumulated in sorted-term order (per-term pivot columns folded
+left-to-right — see ``_score``), matching the oracle's reduction order
 exactly; ties broken by ascending doc_id (the reference's rank order is
 likewise deterministic for equal scores — Lucene breaks ties by doc id).
 
@@ -52,30 +52,30 @@ DECODED_SCHEMA = "term string, doc_id long, contrib double"
 
 def _decode_score_iter(idf: dict[str, float], avgdl: float, k1: float,
                        b: float):
-    """mapInPandas body: posting-block rows → (term, doc_id, contrib)."""
+    """mapInPandas body: posting-block rows → (term, doc_id, contrib).
+
+    One vectorized pass per Arrow batch (``decode_blocks_batch``) — the
+    round-1 per-block python loop paid ~100 µs dispatch per block,
+    ~1 s on a 6k-block query."""
 
     def fn(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .postings import decode_block, tfnorm
+        from .postings import decode_blocks_batch, tfnorm
 
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            terms_out: list[np.ndarray] = []
-            docs_out: list[np.ndarray] = []
-            contrib_out: list[np.ndarray] = []
-            for term, first, deltas, tfs, dls in zip(
-                pdf["term"].values, pdf["first_doc_id"].values,
-                pdf["deltas"].values, pdf["tfs"].values, pdf["dls"].values,
-            ):
-                doc_ids, tf, dl = decode_block(int(first), deltas, tfs, dls)
-                contrib = idf[term] * tfnorm(tf, dl, avgdl, k1, b)
-                terms_out.append(np.repeat(term, doc_ids.shape[0]))
-                docs_out.append(doc_ids)
-                contrib_out.append(contrib)
+            counts = pdf["n_docs"].values.astype(np.int64)
+            doc_ids, tf, dl = decode_blocks_batch(
+                pdf["first_doc_id"].values, counts,
+                list(pdf["deltas"].values), list(pdf["tfs"].values),
+                list(pdf["dls"].values))
+            idf_per_block = pdf["term"].map(idf).values.astype(np.float64)
+            contrib = np.repeat(idf_per_block, counts) \
+                * tfnorm(tf, dl, avgdl, k1, b)
             yield pd.DataFrame({
-                "term": np.concatenate(terms_out),
-                "doc_id": np.concatenate(docs_out),
-                "contrib": np.concatenate(contrib_out),
+                "term": np.repeat(pdf["term"].values, counts),
+                "doc_id": doc_ids,
+                "contrib": contrib,
             })
 
     return fn
@@ -107,15 +107,35 @@ class FTSIndex:
                 os.path.join(index_dir, "corpus_stats")).iloc[0]
             self.n_docs = int(corpus["n_docs"])
             self.avgdl = float(corpus["avgdl"])
+        self._docs_df = None
+        self._postings_df = None
+        self._tomb_df: object = False   # False = not yet resolved
+        # Point-query path: AQE's shuffle-stage materialize-and-replan
+        # round trips cost ~200 ms per query on this path's small,
+        # bounded stages and buy nothing (partition counts are already
+        # right-sized).  Builds re-enable it (build_index sets it back
+        # — AQE earns its keep on the big build shuffles).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    # Table handles are memoized per instance: spark.read.parquet pays
+    # a file-listing round (hundreds of ms on object storage) that a
+    # per-query path must not repeat.  The contract is Lucene's
+    # point-in-time reader: an FTSIndex sees the index as of open();
+    # reopen after external updates (every caller already does).
 
     @property
     def docs(self):
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if self._docs_df is None:
+            self._docs_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docs"))
+        return self._docs_df
 
     @property
     def postings(self):
-        return self.spark.read.parquet(
-            os.path.join(self.index_dir, "postings"))
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "postings"))
+        return self._postings_df
 
     @property
     def term_stats(self):
@@ -127,7 +147,9 @@ class FTSIndex:
         """Tombstoned doc_ids (None when the index has no deletes)."""
         from .incremental import _tombstones_df
 
-        return _tombstones_df(self.spark, self.index_dir)
+        if self._tomb_df is False:
+            self._tomb_df = _tombstones_df(self.spark, self.index_dir)
+        return self._tomb_df
 
     @property
     def live_docs(self):
@@ -201,18 +223,33 @@ class FTSIndex:
         return pred
 
     def _score(self, postings_sel, idf: dict[str, float], filters):
-        """Decode + score + deterministic per-doc reduction (+ filter)."""
+        """Decode + score + deterministic per-doc reduction (+ filter).
+
+        The reduction pivots per-term contributions into one column per
+        (sorted) query term — each (doc, term) decodes to exactly one
+        row, so ``sum(when(term=t))`` is that value — then folds the
+        columns left-to-right in sorted-term order.  Bit-identical to
+        the oracle's sorted-term accumulation (x + 0.0 == x exactly for
+        finite IEEE doubles, so coalescing absent terms to 0.0 matches
+        the oracle skipping them), and, unlike the round-1
+        ``array_sort(collect_list(struct))`` plan, it partial-aggregates
+        MAP-SIDE: the shuffle carries one T+1-column row per doc
+        instead of one struct per decoded posting (~df(term) rows per
+        term) — the difference between shuffling MBs and GBs on a
+        head-term query at corpus scale."""
         from pyspark.sql import functions as F
 
         decoded = postings_sel.mapInPandas(
             _decode_score_iter(idf, self.avgdl, self.k1, self.b),
             DECODED_SCHEMA)
-        scored = decoded.groupBy("doc_id").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["contrib"],
-            ).alias("score"))
+        terms_sorted = sorted(idf)
+        aggs = [F.sum(F.when(F.col("term") == t, F.col("contrib")))
+                .alias(f"_c{i}") for i, t in enumerate(terms_sorted)]
+        per_doc = decoded.groupBy("doc_id").agg(*aggs)
+        score = F.lit(0.0)
+        for i in range(len(terms_sorted)):
+            score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        scored = per_doc.select("doc_id", score.alias("score"))
         tomb = self.tombstones
         if tomb is not None:
             # live-docs mask: tombstoned (replaced/deleted) docs still
@@ -265,10 +302,44 @@ class FTSIndex:
         return result
 
     def _pruned_scored(self, postings_sel, idf: dict[str, float],
-                       filters, k: int, seed_chunks: int = 32):
-        """Chunk-granularity block-max pruning (see module docstring)."""
+                       filters, k: int, seed_chunks: int = 32,
+                       granularity: int | None = None):
+        """Block-range-refined block-max pruning (the BMW analogue).
+
+        Bounds are computed at *pseudo-chunk* granularity ``G``
+        (default chunk_size/32 = 256 docs), MUCH finer than the encode
+        chunk: every block row carries (first_doc_id, last_doc_id,
+        max_tfnorm), so each block's upper bound is spread over the
+        pseudo-chunks its doc range overlaps (a metadata-only
+        sequence-explode — no decode).  At 8192-doc granularity the
+        summed per-term maxima almost never drop below θ on multi-term
+        queries (measured: 0% prunable chunks on the 3.9M reference
+        set); at 256 docs the same queries prune 65–96% of the corpus.
+
+        Admissibility: a doc d in pseudo-chunk p has, per term t, its
+        single t-block containing d overlap p, so contribution(t, d) ≤
+        max(ub over t-blocks overlapping p) and score(d) ≤ bound(p).
+
+        Two driver actions (the BMW floor — θ must reach the driver
+        before the rest pass can prune):
+
+        1. seed pass — top ``seed_chunks`` pseudo-chunks by bound
+           (broadcast subplan, no extra round-trip) are decoded and
+           scored; its top-k sets θ.  Docs OUTSIDE seed pseudo-chunks
+           may appear with partial scores (their blocks overlap seed
+           pcs); partial ≤ true keeps θ a valid lower bound on the
+           true kth score.
+        2. rest pass — blocks overlapping any surviving pseudo-chunk
+           (bound ≥ θ, non-seed) are decoded; the final merge
+           max-dedups per doc over the seed ∪ rest union.  For any doc
+           whose own pseudo-chunk survives (or is a seed), some
+           appearance carries the FULL score and max picks it; docs in
+           pruned pseudo-chunks only ever appear with scores < θ and
+           cannot displace the true top-k.
+        """
         from pyspark.sql import functions as F
 
+        G = granularity or max(64, self.chunk_size // 32)
         idf_expr = F.create_map(
             *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))])
         # Admissibility under incremental updates: stored max_tfnorm was
@@ -279,53 +350,46 @@ class FTSIndex:
         # decremented on delete, df is segment-summed and not — so
         # df > N after deleting most docs containing a term, and
         # (N+1)/(df+0.5) < 1).  A negative idf times max_tfnorm is a
-        # LOWER bound; the admissible per-term chunk bound is then 0
-        # (a chunk doc missing the term contributes exactly 0, one
+        # LOWER bound; the admissible per-term bound is then 0
+        # (a doc missing the term contributes exactly 0, one
         # containing it contributes idf·tfnorm < 0), so clamp.
         min_enc = float(self.config.get("min_encode_avgdl", self.avgdl)
                         or self.avgdl)
         factor = max(1.0, self.avgdl / min_enc) if min_enc > 0 else 1.0
-        cand = (postings_sel
-                .withColumn("chunk", (F.col("first_doc_id")
-                                      / self.chunk_size).cast("long"))
-                .withColumn("ub", F.greatest(
-                    idf_expr[F.col("term")] * F.col("max_tfnorm")
-                    * F.lit(factor), F.lit(0.0))))
-        bounds = (cand.groupBy("chunk", "term")
+        cand = postings_sel.withColumn("ub", F.greatest(
+            idf_expr[F.col("term")] * F.col("max_tfnorm")
+            * F.lit(factor), F.lit(0.0)))
+        # block → overlapped pseudo-chunks (span ≤ chunk_size/G since
+        # blocks never cross an encode chunk)
+        exploded = cand.withColumn("pc", F.explode(F.sequence(
+            (F.col("first_doc_id") / G).cast("long"),
+            (F.col("last_doc_id") / G).cast("long"))))
+        bounds = (exploded.groupBy("pc", "term")
                   .agg(F.max("ub").alias("tub"))
-                  .groupBy("chunk").agg(F.sum("tub").alias("bound")))
-        # Driver-round-trip budget: BMW needs θ on the driver before
-        # the rest-pass can prune, so the floor is TWO actions.  Seed
-        # selection is fused INTO the seed-scoring action (the ranked
-        # chunk list stays a broadcast subplan instead of a separate
-        # collect — round 1 paid a third driver round-trip for it).
-        seed_sel = (bounds.orderBy(F.desc("bound"), F.asc("chunk"))
-                    .limit(seed_chunks).select("chunk"))
-        seed_scored = self._score(
-            cand.join(F.broadcast(seed_sel), "chunk", "left_semi"),
-            idf, filters)
-        # One scoring pass over the seed chunks: its top-k both sets
-        # θ and stands in for the whole seed in the final merge (any
-        # doc of the global top-k that lives in a seed chunk is by
-        # definition inside the seed's own top-k).
+                  .groupBy("pc").agg(F.sum("tub").alias("bound")))
+        seed_sel = (bounds.orderBy(F.desc("bound"), F.asc("pc"))
+                    .limit(seed_chunks).select("pc"))
+        block_key = ["term", "first_doc_id"]
+        seed_blocks = (exploded
+                       .join(F.broadcast(seed_sel), "pc", "left_semi")
+                       .dropDuplicates(block_key).drop("pc"))
+        # Cached: the θ collect materializes it, the final union reuses
+        # it (small: one (doc_id, score) row per seed doc).
+        seed_scored = self._score(seed_blocks, idf, filters).persist()
         seed_topk = (seed_scored
                      .orderBy(F.desc("score"), F.asc("doc_id"))
                      .limit(k).collect())                  # action 1
         theta = float(seed_topk[-1]["score"]) \
             if len(seed_topk) >= k else 0.0
-        seed_local = self.spark.createDataFrame(
-            [(int(r["doc_id"]), float(r["score"])) for r in seed_topk],
-            "doc_id long, score double")
-        # Rest pass (action 2, triggered by the caller): re-derive the
-        # ranked seed set from the (metadata-only, cheap) bounds plan
-        # and anti-join it away; only chunks whose bound clears θ are
-        # decoded.
-        rest_chunks = (bounds.join(seed_sel, "chunk", "left_anti")
-                       .filter(F.col("bound") >= F.lit(theta))
-                       .select("chunk"))
-        rest = cand.join(F.broadcast(rest_chunks), "chunk", "left_semi")
-        rest_scored = self._score(rest, idf, filters)
-        return seed_local.unionByName(rest_scored)
+        surviving = (bounds.join(seed_sel, "pc", "left_anti")
+                     .filter(F.col("bound") >= F.lit(theta))
+                     .select("pc"))
+        rest_blocks = (exploded
+                       .join(F.broadcast(surviving), "pc", "left_semi")
+                       .dropDuplicates(block_key).drop("pc"))
+        rest_scored = self._score(rest_blocks, idf, filters)
+        return (seed_scored.unionByName(rest_scored)
+                .groupBy("doc_id").agg(F.max("score").alias("score")))
 
     def search_conversations(self, query_text: str, k: int = 10,
                              agg: str = "max",

@@ -1,0 +1,111 @@
+"""Multimodal decode pipeline: real BMP decode → thumbnail → features
+over Arrow batches, value-verified against an INDEPENDENT pure-python
+byte-walking decoder (no numpy slicing shared with the implementation).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from moera_search_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_bmp,
+    encode_bmp,
+    image_features,
+    multimodal_decode_features,
+    synth_image,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _py_decode_bmp(buf: bytes) -> list[list[tuple[int, int, int]]]:
+    """Independent reference decoder: explicit byte walking, python
+    ints only."""
+    assert buf[0:2] == b"BM"
+    offset = struct.unpack_from("<I", buf, 10)[0]
+    w = struct.unpack_from("<i", buf, 18)[0]
+    h = struct.unpack_from("<i", buf, 22)[0]
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    assert bpp == 24
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h):                      # stored bottom-up
+        base = offset + y * stride
+        row = []
+        for x in range(w):
+            b, g, r = buf[base + 3 * x: base + 3 * x + 3]
+            row.append((r, g, b))
+        rows.append(row)
+    rows.reverse()                          # top-down
+    return rows
+
+
+class TestBmpCodec:
+    @pytest.mark.parametrize("doc_id", [0, 3, 17, 64, 123, 500])
+    def test_roundtrip_vs_independent_decoder(self, doc_id):
+        img = synth_image(doc_id)
+        buf = encode_bmp(img)
+        ref = _py_decode_bmp(buf)
+        got = decode_bmp(buf)
+        assert got.shape == (len(ref), len(ref[0]), 3)
+        for y, row in enumerate(ref):
+            for x, px in enumerate(row):
+                assert tuple(int(v) for v in got[y, x]) == px
+
+    def test_unpadded_and_padded_widths(self):
+        # width 4 → row 12 bytes (no pad); width 5 → row 15 + 1 pad
+        for w in (4, 5, 6, 7):
+            img = (np.arange(w * 3 * 3) % 256).astype(np.uint8) \
+                .reshape(3, w, 3)
+            assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    def test_compressed_format_raises(self):
+        img = synth_image(1)
+        buf = bytearray(encode_bmp(img))
+        struct.pack_into("<I", buf, 30, 1)   # compression = BI_RLE8
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_bmp(bytes(buf))
+
+
+def _py_features(rows) -> list[float]:
+    """Independent feature computation from the reference decoder's
+    nested-list image."""
+    h, w = len(rows), len(rows[0])
+    flat = [px for row in rows for px in row]
+    mean_rgb = [sum(p[c] for p in flat) / len(flat) / 255.0
+                for c in range(3)]
+    lums = []
+    ys = [0, h // 2, h]
+    xs = [0, w // 2, w]
+    for i in range(2):
+        for j in range(2):
+            block = [rows[y][x] for y in range(ys[i], ys[i + 1])
+                     for x in range(xs[j], xs[j + 1])]
+            r = sum(p[0] for p in block) / len(block)
+            g = sum(p[1] for p in block) / len(block)
+            b = sum(p[2] for p in block) / len(block)
+            lums.append((0.299 * r + 0.587 * g + 0.114 * b) / 255.0)
+    return mean_rgb + lums + [w / h]
+
+
+class TestDecodePipeline:
+    def test_features_match_independent_oracle(self):
+        for doc_id in (0, 9, 42, 200):
+            buf = encode_bmp(synth_image(doc_id))
+            got = image_features(decode_bmp(buf))
+            want = _py_features(_py_decode_bmp(buf))
+            assert np.allclose(got, want, atol=1e-12)
+
+    def test_spark_pipeline_matches_oracle(self, spark):
+        rows = multimodal_decode_features(spark, SF_DIR).collect()
+        assert rows and all(len(r["features"]) == FEATURE_DIM
+                            for r in rows)
+        by_id = {int(r["doc_id"]): r["features"] for r in rows}
+        for doc_id in list(by_id)[:10]:
+            buf = encode_bmp(synth_image(doc_id))
+            want = _py_features(_py_decode_bmp(buf))
+            assert np.allclose(by_id[doc_id], want, atol=1e-12)
