@@ -119,7 +119,16 @@ def _bucket_udf(boundaries: list[str]):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    bounds = np.array(boundaries, dtype=object)
+    # Fixed-width unicode dtype: searchsorted compares via vectorized C
+    # code-point comparison (~2× the object-dtype path at 2^18
+    # boundaries).  Truncating a LONGER conv_id to the boundary width W
+    # is safe: boundaries are untruncated (length ≤ W), so any
+    # comparison is decided within W characters, and a conv_id whose
+    # W-prefix equals a boundary is ≥ it under both full and truncated
+    # comparison ('\\0' padding sorts below every real character,
+    # matching python's shorter-string-first semantics).
+    width = max(1, max(len(b) for b in boundaries))
+    bounds = np.array(boundaries, dtype=f"U{width}")
 
     @pandas_udf("int")
     def assign(conv: pd.Series) -> pd.Series:
@@ -127,7 +136,8 @@ def _bucket_udf(boundaries: list[str]):
             raise ValueError(
                 "null conv_id in transcripts input — every row needs a "
                 "(conv_id, turn_idx) key; filter nulls upstream")
-        idx = np.searchsorted(bounds, conv.to_numpy(), side="right") - 1
+        vals = conv.to_numpy().astype(bounds.dtype)
+        idx = np.searchsorted(bounds, vals, side="right") - 1
         return pd.Series(idx, dtype="int32")
 
     return assign
@@ -403,12 +413,21 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                 f"simulated crash after {fail_after_groups} staging groups")
         t0 = time.time()
         mf.mark(index_dir, "staging", group, "running")
-        sub = (
-            transcripts.withColumn("bucket", bucket_col)
-            .filter(F.col("bucket").isin([int(x) for x in group]))
-            .repartition(max(len(group), 1), "bucket")
-            .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-        )
+        # Hash partitioning never splits a bucket across tasks, so the
+        # staging task count is capped: with heavy over-bucketing
+        # (resume granularity finer than the executor count wants)
+        # several buckets share one task instead of paying per-task
+        # scheduling for 238-doc partitions.  On a real cluster the cap
+        # is executor-count-scaled via defaultParallelism.
+        n_parts = min(max(len(group), 1),
+                      max(64, shuffle_partitions * 8))
+        sub = transcripts.withColumn("bucket", bucket_col)
+        if len(group) < n_buckets:
+            # resume case only — a fresh full build stages every bucket
+            # and skips the IN-list (16k literals would bloat the plan)
+            sub = sub.filter(F.col("bucket").isin([int(x) for x in group]))
+        sub = (sub.repartition(n_parts, "bucket")
+               .sortWithinPartitions("bucket", "conv_id", "turn_idx"))
         staged = sub.mapInPandas(_staging_iter(mode), STAGING_SCHEMA_DDL)
         # Partitioned by (bucket, row_type): later stages read doc / tf
         # rows via directory pruning, and the per-bucket 'bstat' summary
@@ -469,15 +488,20 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     avgdl = (total_dl / n_docs) if n_docs else 0.0
 
     # ---- stage 3 prep: global doc_id assignment (offsets from stats) ----
+    # The per-bucket offset table joins in as a BROADCAST dimension (a
+    # create_map literal of 2^18 entries would bloat every downstream
+    # plan the same way the round-1 bucket expression did).
     offsets, acc = {}, doc_id_offset
     for bkt in range(n_buckets):
         offsets[bkt] = acc
         acc += int(bstats.get(str(bkt), {}).get("docs", 0))
-    off_map = F.create_map(
-        *[x for bkt, off in offsets.items()
-          for x in (F.lit(bkt), F.lit(off))])
-    doc_id_col = (off_map[F.col("bucket")] + F.col("local_idx")) \
-        .alias("doc_id")
+    offsets_df = F.broadcast(spark.createDataFrame(
+        [(int(b), int(o)) for b, o in offsets.items()],
+        "bucket int, _doc_off long"))
+    doc_id_col = (F.col("_doc_off") + F.col("local_idx")).alias("doc_id")
+
+    def with_doc_id(df):
+        return df.join(offsets_df, "bucket")
 
     # ---- stages 2-4: stats / docs / postings ----
     # The three output jobs depend only on staging, not on each other,
@@ -496,17 +520,19 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
          .parquet(os.path.join(index_dir, "term_stats")))
 
     def _job_docs():
-        # Map-only write: staging is bucket-partitioned and sorted by
-        # (conv_id, turn_idx), so doc_id = offset + local_idx is already
-        # monotone within every output file — file-level min-max on
-        # doc_id stays disjoint across buckets with zero shuffle.
-        (doc_rows.select(doc_id_col, "conv_id", "turn_idx", "role", "tool",
-                         "ts", "dl", "text")
+        # Map-only write (the offsets broadcast join is shuffle-free):
+        # staging is bucket-partitioned and sorted by (conv_id,
+        # turn_idx), so doc_id = offset + local_idx is already monotone
+        # within every output file — file-level min-max on doc_id stays
+        # disjoint across buckets with zero shuffle.
+        (with_doc_id(doc_rows)
+         .select(doc_id_col, "conv_id", "turn_idx", "role", "tool",
+                 "ts", "dl", "text")
          .write.mode("overwrite").parquet(os.path.join(index_dir, "docs")))
 
     def _job_postings():
         # Posting-block encoding, skew-proof by (term, chunk) grouping.
-        tf_with_id = tf_rows.select(
+        tf_with_id = with_doc_id(tf_rows).select(
             doc_id_col, "term", "tf", "dl"
         ).withColumn("chunk", (F.col("doc_id") / chunk_size)
                      .cast("long"))
