@@ -204,15 +204,24 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     sig = minhash_signatures(spark, sf_dir)
     rows_per_band = N_HASHES // N_BANDS
-    bands = []
-    for bnd in range(N_BANDS):
-        cols = [f"mh{bnd * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(sig.select(
-            "doc_id", F.lit(bnd).alias("band"),
-            F.md5(F.concat_ws("_", *cols)).alias("bucket")))
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+    # All bands from ONE pass over the signatures: an array-of-structs
+    # explode instead of a union of per-band selects (the round-1 union
+    # re-computed the whole shingle→minhash pipeline once per band —
+    # 8× the dominant cost), then persisted so the self-join's two
+    # sides don't recompute it either (docs × n_bands small rows).
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.md5(F.concat_ws("_", *[
+                f"mh{bnd * rows_per_band + r}"
+                for r in range(rows_per_band)])).alias("bucket"))
+        for bnd in range(N_BANDS)
+    ]
+    banded = (sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+        .persist())
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -237,7 +246,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     n_cand = cand.count()
     cand_join = F.broadcast(cand) if n_cand <= CAND_BROADCAST_MAX \
         else cand
-    sh = _bigrams(spark, sf_dir)
+    # persisted: the shingle set feeds three consumers below (sizes +
+    # both sides of the intersection join)
+    sh = _bigrams(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sh_a = sh.select(F.col("doc_id").alias("cand_a"),
                      F.col("shingle").alias("s"))

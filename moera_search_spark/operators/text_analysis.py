@@ -128,13 +128,19 @@ TEXT_DOC_PROFILE_SQL = _profile_sql()
 
 
 def text_extract_transform(spark, sf_dir):
-    """Per-doc text transforms — two operators in one projection:
+    """Per-doc text transforms — three operators in one projection:
 
     * hashtag extraction (BodyUtil.java:18-20,83-93) — documents get a
       synthetic leading tag so the op has matches; regexp_extract_all,
       sorted + joined so the value hash is representation-independent;
     * clearHtml semantics (Util.java:77-82): strip tags → space, shown
-      over synthetic wrapped text so the op has effect.
+      over synthetic wrapped text so the op has effect;
+    * indexed-text concat: body + preview-title + media-text space-join
+      (IndexedDocument.java:79-97 joins body with link-preview titles/
+      descriptions; util/MediaTextUtil.java:17-60 space-joins per-
+      attachment title+textContent) — ``concat_ws`` with null-skipping
+      semantics (absent parts vanish, exactly the reference's
+      filter-null-then-join).
     """
     from pyspark.sql import functions as F
 
@@ -144,11 +150,15 @@ def text_extract_transform(spark, sf_dir):
     tags = F.regexp_extract_all(tagged, F.lit(r"#[a-z0-9_]+"), 0)
     wrapped = F.concat(F.lit("<p>"), F.substring("text", 1, 40),
                        F.lit("</p>"))
+    preview_title = F.when(F.col("n_chars") > 200, F.col("source"))
+    media_text = F.when(F.col("lang") == "en", F.lit("media-alt"))
     return d.select(
         "doc_id",
         F.array_join(F.array_sort(tags), " ").alias("tags"),
         F.regexp_replace(wrapped, r"(?i)</?[a-z][^>]*>", " ")
-        .alias("cleaned"))
+        .alias("cleaned"),
+        F.concat_ws(" ", F.substring("text", 1, 30), preview_title,
+                    media_text).alias("indexed_text"))
 
 
 TEXT_EXTRACT_TRANSFORM_SQL = """
@@ -157,7 +167,11 @@ TEXT_EXTRACT_TRANSFORM_SQL = """
              regexp_extract_all('#' || source || ' ' || text,
                                 '#[a-z0-9_]+')), ' ') AS tags,
            regexp_replace('<p>' || substr(text, 1, 40) || '</p>',
-                          '(?i)</?[a-z][^>]*>', ' ', 'g') AS cleaned
+                          '(?i)</?[a-z][^>]*>', ' ', 'g') AS cleaned,
+           concat_ws(' ', substr(text, 1, 30),
+                     CASE WHEN length(text) > 200 THEN source END,
+                     CASE WHEN lang = 'en' THEN 'media-alt' END)
+             AS indexed_text
     FROM documents
 """
 
