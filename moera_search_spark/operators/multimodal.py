@@ -5,14 +5,20 @@ thumbnail, serve) is a non-goal for retrieval, but a 100-TB training
 pipeline needs the Spark-side plumbing for binary modalities: schema,
 partition-friendly batch shape, and Arrow-batched decode UDFs.
 
-The image decode path is REAL for uncompressed 24-bit BMP: a pure-
-numpy header parse + bottom-up BGR pixel-array decode + block-mean
-resize (thumbnailing) + feature extraction, run over Arrow batches in
-``mapInPandas`` — no codec library needed for this format.  Compressed
-formats (JPEG/PNG) still need PIL and keep the declared stub slot:
-``decode_stub='fake'`` produces a deterministic fake feature vector;
-``decode_stub='raise'`` raises NotImplementedError where PIL/ffmpeg
-would plug in.
+The decode paths are REAL for uncompressed formats — no codec library
+needed, everything is pure numpy over Arrow batches in ``mapInPandas``:
+
+* image — 24-bit BMP: header parse + bottom-up BGR pixel-array decode
+  + block-mean resize (thumbnailing) + feature extraction;
+* video — frame-sequence container of BMP frames: frame-sample every
+  k-th frame, decode it, mean-pool per-frame features;
+* audio — PCM16 RIFF/WAVE: chunk walk + sample decode + windowed RMS
+  features.
+
+Compressed formats (JPEG/PNG/MP3/…) still need PIL/ffmpeg and keep the
+declared stub slot: ``decode_stub='fake'`` produces a deterministic
+fake feature vector; ``decode_stub='raise'`` raises
+NotImplementedError where the library decoder would plug in.
 """
 
 from __future__ import annotations
@@ -206,6 +212,136 @@ def multimodal_decode_features(spark, sf_dir, decode_stub: str = "bmp"):
     p = src(spark, sf_dir).select("doc_id", "payload")
     return p.mapInPandas(decode_features_iter(decode_stub),
                          "doc_id long, features array<double>")
+
+
+# ------------------------------------------------ video: frame sampling
+
+def encode_video(frames: list) -> bytes:
+    """Toy container for a frame sequence: 'VID0' + frame count +
+    length-prefixed BMP frames.  Stands in for a real container;
+    the per-frame payloads are real BMPs."""
+    out = bytearray(b"VID0")
+    out += struct.pack("<I", len(frames))
+    for fr in frames:
+        buf = encode_bmp(fr)
+        out += struct.pack("<I", len(buf))
+        out += buf
+    return bytes(out)
+
+
+def synth_video(doc_id: int, n_frames: int = 12) -> list:
+    """Deterministic frame sequence — a drifting variant of the doc's
+    base test pattern per frame index."""
+    base = synth_image(doc_id)
+    return [np.roll(base, shift=3 * f, axis=1) for f in range(n_frames)]
+
+
+def sample_video_features(buf: bytes, every: int = 4) -> np.ndarray:
+    """Frame-sample + decode + per-frame features → temporal mean.
+
+    The frame-sampling stage of a video training pipeline: parse the
+    container, decode every ``every``-th frame (a real BMP decode),
+    and mean-pool the per-frame feature vectors."""
+    if buf[:4] != b"VID0":
+        raise ValueError("not a VID0 payload")
+    (n,) = struct.unpack_from("<I", buf, 4)
+    off = 8
+    feats = []
+    for i in range(n):
+        (flen,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        if i % every == 0:
+            feats.append(image_features(decode_bmp(buf[off:off + flen])))
+        off += flen
+    return np.mean(feats, axis=0)
+
+
+def video_frame_features(spark, sf_dir, every: int = 4):
+    """(doc_id) → sampled-frame feature vector over Arrow batches —
+    synthesize the VID0 payload and run the sample+decode pipeline in
+    one mapInPandas pass (payloads never leave the executor)."""
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids = pdf["doc_id"].values
+            feats = [sample_video_features(
+                encode_video(synth_video(int(i))), every).tolist()
+                for i in ids]
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return (_docs(spark, sf_dir).select("doc_id")
+            .mapInPandas(gen, "doc_id long, features array<double>"))
+
+
+# ------------------------------------------------ audio: PCM WAV decode
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal PCM16 mono WAV writer (RIFF/fmt/data chunks)."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    data = (pcm * 32767.0).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2,
+                                2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy PCM16 WAV decode: chunk walk → float64 samples in
+    [-1, 1] + sample rate."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off = 12
+    rate, data = None, None
+    while off + 8 <= len(buf):
+        cid = buf[off:off + 4]
+        (clen,) = struct.unpack_from("<I", buf, off + 4)
+        body = buf[off + 8: off + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, _ch, rate = struct.unpack_from("<HHI", body, 0)
+            if fmt_tag != 1:
+                raise NotImplementedError(
+                    "only PCM wav decodes natively; compressed audio "
+                    "plugs in ffmpeg here")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2").astype(np.float64) \
+                / 32767.0
+        off += 8 + clen + (clen % 2)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+def synth_audio(doc_id: int, n: int = 4000) -> np.ndarray:
+    """Deterministic tone mix per doc — frequencies derived from doc_id."""
+    t = np.arange(n) / 8000.0
+    f1 = 100.0 + (doc_id % 17) * 25.0
+    f2 = 300.0 + (doc_id % 7) * 40.0
+    return 0.5 * np.sin(2 * np.pi * f1 * t) \
+        + 0.3 * np.sin(2 * np.pi * f2 * t)
+
+
+def audio_features(samples: np.ndarray, windows: int = 8) -> np.ndarray:
+    """Per-window RMS energy — the cheap audio feature stage."""
+    n = samples.shape[0]
+    edges = np.linspace(0, n, windows + 1).astype(int)
+    return np.array([
+        np.sqrt(np.mean(samples[edges[i]:edges[i + 1]] ** 2))
+        for i in range(windows)])
+
+
+def audio_window_features(spark, sf_dir):
+    """(doc_id) → windowed RMS features via a real WAV decode per row,
+    Arrow-batched."""
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids = pdf["doc_id"].values
+            feats = []
+            for i in ids:
+                samples, _rate = decode_wav(encode_wav(synth_audio(int(i))))
+                feats.append(audio_features(samples).tolist())
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return (_docs(spark, sf_dir).select("doc_id")
+            .mapInPandas(gen, "doc_id long, features array<double>"))
 
 
 QUERIES = {

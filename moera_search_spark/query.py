@@ -263,11 +263,20 @@ class FTSIndex:
 
     # -- public entry points -------------------------------------------
 
+    # Measured strategy crossover (BASELINE.md round 2): below ~2M live
+    # docs one exhaustive action beats pruning's two; above it the
+    # refined block-max prune reads a shrinking fraction of the corpus.
+    AUTO_PRUNE_MIN_DOCS = 2_000_000
+
     def search(self, query_text: str, k: int = 10,
-               filters: dict | None = None, method: str = "exhaustive",
+               filters: dict | None = None, method: str = "auto",
                hydrate: bool = False, page: int = 0):
         """Top-k BM25. Returns DataFrame (doc_id, score) rank-ordered,
         or hydrated doc rows when ``hydrate``.
+
+        ``method``: ``'auto'`` picks the strategy by corpus size (the
+        engine analogue of Lucene only engaging WAND when it pays),
+        ``'exhaustive'`` / ``'pruned'`` force one.
 
         ``page`` gives the reference's from/size pagination
         (from = page·limit, size = limit — Index.java:397-398, limits
@@ -275,6 +284,9 @@ class FTSIndex:
         the top (page+1)·k and slice the last k."""
         from pyspark.sql import functions as F
 
+        if method == "auto":
+            method = ("pruned" if self.n_docs >= self.AUTO_PRUNE_MIN_DOCS
+                      else "exhaustive")
         q_terms = self.query_terms(query_text)
         idf = self.idf_map(q_terms)
         matched = [t for t in q_terms if t in idf]

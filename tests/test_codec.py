@@ -70,3 +70,40 @@ class TestBlocks:
             assert float(np.max(scores)) <= mx
             # and exact (not just a bound): it is the block max
             assert float(np.max(scores)) == mx
+
+
+class TestBatchDecode:
+    def test_batch_matches_per_block_decode(self):
+        """decode_blocks_batch ≡ per-block decode_block over many
+        randomized blocks (the vectorized query hot path)."""
+        import numpy as np
+
+        from moera_search_spark.postings import (
+            decode_block,
+            decode_blocks_batch,
+            encode_term_run,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for base in (0, 5000, 123456):
+            n = int(rng.integers(1, 300))
+            ids = np.sort(rng.choice(np.arange(base, base + 8192),
+                                     size=n, replace=False))
+            tfs = rng.integers(1, 50, n)
+            dls = rng.integers(1, 400, n)
+            rows += encode_term_run(ids, tfs, dls, avgdl=30.0)
+        firsts = np.array([r[0] for r in rows])
+        counts = np.array([r[2] for r in rows])
+        d, t, l = decode_blocks_batch(
+            firsts, counts, [r[3] for r in rows], [r[4] for r in rows],
+            [r[5] for r in rows])
+        off = 0
+        for r in rows:
+            di, ti, li = decode_block(r[0], r[3], r[4], r[5])
+            n = di.shape[0]
+            assert np.array_equal(d[off:off + n], di)
+            assert np.array_equal(t[off:off + n], ti)
+            assert np.array_equal(l[off:off + n], li)
+            off += n
+        assert off == d.shape[0]

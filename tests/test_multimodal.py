@@ -109,3 +109,94 @@ class TestDecodePipeline:
             buf = encode_bmp(synth_image(doc_id))
             want = _py_features(_py_decode_bmp(buf))
             assert np.allclose(by_id[doc_id], want, atol=1e-12)
+
+
+class TestVideoFrameSampling:
+    def test_sampled_features_match_per_frame_mean(self):
+        from moera_search_spark.operators.multimodal import (
+            encode_video,
+            sample_video_features,
+            synth_video,
+        )
+
+        frames = synth_video(7, n_frames=12)
+        got = sample_video_features(encode_video(frames), every=4)
+        # independent: decode every 4th frame through the reference
+        # decoder and average its independently-computed features
+        want_rows = [_py_features(_py_decode_bmp(encode_bmp(frames[i])))
+                     for i in (0, 4, 8)]
+        want = np.mean(np.array(want_rows), axis=0)
+        assert np.allclose(got, want, atol=1e-12)
+
+    def test_bad_container_rejected(self):
+        from moera_search_spark.operators.multimodal import (
+            sample_video_features,
+        )
+
+        with pytest.raises(ValueError, match="VID0"):
+            sample_video_features(b"nope")
+
+    def test_spark_pipeline(self, spark):
+        from moera_search_spark.operators.multimodal import (
+            video_frame_features,
+        )
+
+        rows = video_frame_features(spark, SF_DIR).collect()
+        assert rows and all(len(r["features"]) == FEATURE_DIM
+                            for r in rows)
+
+
+class TestAudioDecode:
+    def test_wav_roundtrip_independent(self):
+        from moera_search_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+            synth_audio,
+        )
+
+        samples = synth_audio(3)
+        buf = encode_wav(samples, rate=8000)
+        # independent header walk with the stdlib wave module
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(buf)) as w:
+            assert w.getframerate() == 8000
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            raw = w.readframes(w.getnframes())
+        want = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+        got, rate = decode_wav(buf)
+        assert rate == 8000
+        assert np.allclose(got, want, atol=0)
+        # quantization-level fidelity to the source signal
+        assert np.allclose(got, np.clip(samples, -1, 1), atol=1.0 / 32000)
+
+    def test_non_pcm_rejected(self):
+        from moera_search_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+            synth_audio,
+        )
+        import struct as _s
+
+        buf = bytearray(encode_wav(synth_audio(1)))
+        _s.pack_into("<H", buf, 20, 85)     # fmt tag: MP3
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            decode_wav(bytes(buf))
+
+    def test_spark_pipeline(self, spark):
+        from moera_search_spark.operators.multimodal import (
+            audio_window_features,
+            synth_audio,
+            audio_features,
+        )
+
+        rows = audio_window_features(spark, SF_DIR).collect()
+        assert rows and all(len(r["features"]) == 8 for r in rows)
+        by_id = {int(r["doc_id"]): r["features"] for r in rows}
+        some = list(by_id)[0]
+        # windowed RMS of the decoded signal matches the direct python
+        # computation up to PCM16 quantization
+        want = audio_features(np.clip(synth_audio(some), -1, 1))
+        assert np.allclose(by_id[some], want, atol=1e-4)
