@@ -263,3 +263,26 @@ class TestNullConvId:
             TRANSCRIPT_DDL)
         with pytest.raises(Exception, match="null conv_id"):
             build_index(spark, df, str(tmp_path / "nulls"), n_buckets=2)
+
+
+class TestSourceAdapter:
+    def test_parquet_dir_and_catalog_table(self, spark, tmp_path):
+        from moera_search_spark.io import read_transcripts
+
+        df = _transcripts(spark, [("conv-a", 0, "alpha"),
+                                  ("conv-b", 0, "beta")])
+        p = str(tmp_path / "tr")
+        df.write.parquet(p)
+        got = read_transcripts(spark, p)
+        assert got.count() == 2
+        df.createOrReplaceTempView("transcripts_view")
+        got2 = read_transcripts(spark, "transcripts_view")
+        assert got2.count() == 2
+
+    def test_explicit_format(self, spark, tmp_path):
+        from moera_search_spark.io import read_transcripts
+
+        df = _transcripts(spark, [("conv-a", 0, "alpha")])
+        p = str(tmp_path / "trf")
+        df.write.parquet(p)
+        assert read_transcripts(spark, p, fmt="parquet").count() == 1

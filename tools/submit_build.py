@@ -38,6 +38,9 @@ def main(argv=None) -> int:
     b.add_argument("--buckets-per-job", type=int, default=None)
     b.add_argument("--n-term-buckets", type=int, default=64)
     b.add_argument("--mode", default="english")
+    b.add_argument("--format", default=None,
+                   help="input format: iceberg | parquet | any Spark "
+                        "source (default: auto-resolve, io.py)")
     b.add_argument("--resume", action="store_true")
 
     u = sub.add_parser("update")
@@ -54,8 +57,8 @@ def main(argv=None) -> int:
     q.add_argument("--index-dir", required=True)
     q.add_argument("--text", required=True)
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--method", default="pruned",
-                   choices=["exhaustive", "pruned"])
+    q.add_argument("--method", default="auto",
+                   choices=["auto", "exhaustive", "pruned"])
 
     args = p.parse_args(argv)
 
@@ -67,8 +70,11 @@ def main(argv=None) -> int:
     if args.cmd == "build":
         from moera_search_spark.build import build_index
 
+        from moera_search_spark.io import read_transcripts
+
         res = build_index(
-            spark, spark.read.parquet(args.input), args.index_dir,
+            spark, read_transcripts(spark, args.input, fmt=args.format),
+            args.index_dir,
             mode=args.mode, n_buckets=args.n_buckets,
             buckets_per_job=args.buckets_per_job,
             n_term_buckets=args.n_term_buckets, resume=args.resume)
