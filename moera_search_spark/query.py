@@ -386,8 +386,14 @@ class FTSIndex:
                        .join(F.broadcast(seed_sel), "pc", "left_semi")
                        .dropDuplicates(block_key).drop("pc"))
         # Cached: the θ collect materializes it, the final union reuses
-        # it (small: one (doc_id, score) row per seed doc).
+        # it (small: one (doc_id, score) row per seed doc).  One cached
+        # generation per index — the previous query's seed cache is
+        # dropped here so repeated queries don't accumulate blocks.
+        prev = getattr(self, "_seed_cache", None)
+        if prev is not None:
+            prev.unpersist(False)
         seed_scored = self._score(seed_blocks, idf, filters).persist()
+        self._seed_cache = seed_scored
         seed_topk = (seed_scored
                      .orderBy(F.desc("score"), F.asc("doc_id"))
                      .limit(k).collect())                  # action 1
