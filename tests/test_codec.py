@@ -107,3 +107,58 @@ class TestBatchDecode:
             assert np.array_equal(l[off:off + n], li)
             off += n
         assert off == d.shape[0]
+
+
+class TestCodecProperties:
+    def test_varbyte_roundtrip_property(self):
+        """Property: vb_decode(vb_encode(x)) == x for arbitrary
+        non-negative int64 arrays (hypothesis-driven)."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from moera_search_spark.postings import vb_decode, vb_encode
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(min_value=0,
+                                    max_value=(1 << 62) - 1),
+                        max_size=300))
+        def roundtrip(values):
+            arr = np.array(values, dtype=np.int64)
+            assert np.array_equal(vb_decode(vb_encode(arr)), arr)
+
+        roundtrip()
+
+    def test_term_run_blocks_property(self):
+        """Property: encode_term_run → decode_blocks_batch restores the
+        exact (doc_ids, tfs, dls) for arbitrary sorted runs."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from moera_search_spark.postings import (
+            decode_blocks_batch,
+            encode_term_run,
+        )
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.sets(st.integers(min_value=0, max_value=8191),
+                       min_size=1, max_size=500),
+               st.integers(min_value=1, max_value=1000))
+        def roundtrip(idset, seed):
+            rng = np.random.default_rng(seed)
+            ids = np.sort(np.fromiter(idset, np.int64))
+            n = ids.shape[0]
+            tfs = rng.integers(1, 1000, n)
+            dls = rng.integers(1, 5000, n)
+            rows = encode_term_run(ids, tfs, dls, avgdl=25.0)
+            d, t, l = decode_blocks_batch(
+                np.array([r[0] for r in rows]),
+                np.array([r[2] for r in rows]),
+                [r[3] for r in rows], [r[4] for r in rows],
+                [r[5] for r in rows])
+            assert np.array_equal(d, ids)
+            assert np.array_equal(t, tfs)
+            assert np.array_equal(l, dls)
+
+        roundtrip()
