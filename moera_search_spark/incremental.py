@@ -48,7 +48,9 @@ Scoring semantics under deltas (documented contract, Lucene-faithful):
 
 from __future__ import annotations
 
+import hashlib
 import os
+import re
 import shutil
 import time
 
@@ -58,6 +60,23 @@ from .build import build_index
 KEYS = ["conv_id", "turn_idx"]
 CONTENT_COLS = ["role", "tool", "ts", "text"]
 TOMBSTONES = "_tombstones"
+
+
+def _fs_token(batch_id: str) -> str:
+    """Filesystem token for a caller-supplied batch id.
+
+    Artifact cleanup sweeps files by the prefix ``seg-<id>-`` /
+    ``batch-<id>-``, so one id must never be a file-prefix of another
+    (``'b1'`` vs ``'b1-retry'`` would let b1's retry sweep delete
+    b1-retry's committed segment files).  The token is the sanitized
+    id plus a 12-hex digest of the FULL id: the digest is fixed-width
+    and the sanitized part contains no ``.``, so no token (plus its
+    ``-`` delimiter) can prefix a different token (ADVICE round 2)."""
+    if not batch_id:
+        raise ValueError("batch_id must be a non-empty string")
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", batch_id)[:48]
+    dig = hashlib.sha1(batch_id.encode("utf-8")).hexdigest()[:12]
+    return f"{safe}.{dig}"
 
 
 def _tombstones_df(spark, index_dir: str):
@@ -76,11 +95,12 @@ def _adopt_segment_files(seg_dir: str, index_dir: str, batch_id: str,
                          subdirs: tuple[str, ...] = SEG_SUBDIRS) -> None:
     """Move a finished segment's parquet files into the main index
     directories (append-only adoption).  Names are derived from the
-    batch id + a per-directory sequence number — deterministic across
-    retries, so together with ``_cleanup_batch_artifacts`` a re-run of
-    a crashed batch can never leave two live copies.  On object storage
-    this is the same cheap metadata operation Iceberg's append commit
-    performs."""
+    batch id's filesystem token + a per-directory sequence number —
+    deterministic across retries, so together with
+    ``_cleanup_batch_artifacts`` a re-run of a crashed batch can never
+    leave two live copies.  On object storage this is the same cheap
+    metadata operation Iceberg's append commit performs."""
+    tok = _fs_token(batch_id)
     for sub in subdirs:
         src_root = os.path.join(seg_dir, sub)
         dst_root = os.path.join(index_dir, sub)
@@ -94,7 +114,7 @@ def _adopt_segment_files(seg_dir: str, index_dir: str, batch_id: str,
                     continue
                 os.replace(os.path.join(root, f),
                            os.path.join(dst,
-                                        f"seg-{batch_id}-{i:05d}.parquet"))
+                                        f"seg-{tok}-{i:05d}.parquet"))
 
 
 def _cleanup_batch_artifacts(index_dir: str, batch_id: str) -> None:
@@ -104,16 +124,17 @@ def _cleanup_batch_artifacts(index_dir: str, batch_id: str) -> None:
     the mutation sequence below is not atomic, but after this sweep the
     index is back to its exact pre-batch state, so apply_updates as a
     whole is idempotent — the atomic config save is the commit point."""
-    shutil.rmtree(os.path.join(index_dir, f"_seg_{batch_id}"),
+    tok = _fs_token(batch_id)
+    shutil.rmtree(os.path.join(index_dir, f"_seg_{tok}"),
                   ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, f"_tomb_{batch_id}"),
+    shutil.rmtree(os.path.join(index_dir, f"_tomb_{tok}"),
                   ignore_errors=True)
     tomb_dir = os.path.join(index_dir, TOMBSTONES)
     if os.path.isdir(tomb_dir):
         for f in os.listdir(tomb_dir):
-            if f.startswith(f"batch-{batch_id}-"):
+            if f.startswith(f"batch-{tok}-"):
                 os.remove(os.path.join(tomb_dir, f))
-    prefix = f"seg-{batch_id}-"
+    prefix = f"seg-{tok}-"
     for sub in SEG_SUBDIRS:
         for root, _dirs, files in os.walk(os.path.join(index_dir, sub)):
             for f in files:
@@ -125,7 +146,8 @@ def _adopt_tombstones(spark, index_dir: str, batch_id: str, doomed) -> None:
     """Write this batch's tombstoned doc_ids as deterministically-named
     files under ``_tombstones`` (batch-<id>-<seq>.parquet) so a retry
     overwrites instead of appending duplicates."""
-    tmp = os.path.join(index_dir, f"_tomb_{batch_id}")
+    tok = _fs_token(batch_id)
+    tmp = os.path.join(index_dir, f"_tomb_{tok}")
     doomed.select("doc_id").write.mode("overwrite").parquet(tmp)
     dst = os.path.join(index_dir, TOMBSTONES)
     os.makedirs(dst, exist_ok=True)
@@ -133,7 +155,7 @@ def _adopt_tombstones(spark, index_dir: str, batch_id: str, doomed) -> None:
     for f in sorted(os.listdir(tmp)):
         if f.endswith(".parquet"):
             os.replace(os.path.join(tmp, f),
-                       os.path.join(dst, f"batch-{batch_id}-{i:05d}.parquet"))
+                       os.path.join(dst, f"batch-{tok}-{i:05d}.parquet"))
             i += 1
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -241,7 +263,7 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
     if changed is not None and changed.count() == 0:
         changed = None   # everything dedup'd away — no segment
     if changed is not None:
-        seg_dir = os.path.join(index_dir, f"_seg_{batch_id}")
+        seg_dir = os.path.join(index_dir, f"_seg_{_fs_token(batch_id)}")
         shutil.rmtree(seg_dir, ignore_errors=True)
         res = build_index(
             spark, changed, seg_dir, mode=config["mode"],

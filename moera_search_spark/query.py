@@ -113,9 +113,33 @@ class FTSIndex:
         # Point-query path: AQE's shuffle-stage materialize-and-replan
         # round trips cost ~200 ms per query on this path's small,
         # bounded stages and buy nothing (partition counts are already
-        # right-sized).  Builds re-enable it (build_index sets it back
-        # — AQE earns its keep on the big build shuffles).
+        # right-sized).  The prior session value is saved and restored
+        # by ``close()`` (FTSIndex is a context manager), so opening an
+        # index does not silently strip AQE from unrelated workloads in
+        # the same session; builds also re-enable it explicitly.
+        try:
+            self._prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        except Exception:
+            self._prior_aqe = "true"
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def close(self) -> None:
+        """Release the per-index session footprint: restore the AQE
+        setting the constructor overrode and drop the pruned path's
+        cached seed generation."""
+        prev = getattr(self, "_seed_cache", None)
+        if prev is not None:
+            prev.unpersist(False)
+            self._seed_cache = None
+        self.spark.conf.set("spark.sql.adaptive.enabled",
+                            self._prior_aqe)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     # Table handles are memoized per instance: spark.read.parquet pays
     # a file-listing round (hundreds of ms on object storage) that a
@@ -337,17 +361,24 @@ class FTSIndex:
 
         1. seed pass — top ``seed_chunks`` pseudo-chunks by bound
            (broadcast subplan, no extra round-trip) are decoded and
-           scored; its top-k sets θ.  Docs OUTSIDE seed pseudo-chunks
-           may appear with partial scores (their blocks overlap seed
-           pcs); partial ≤ true keeps θ a valid lower bound on the
-           true kth score.
+           scored, then restricted to docs whose OWN pseudo-chunk
+           ``doc_id // G`` is a seed; its top-k sets θ.  A doc whose
+           own pc is a seed has, per term, its single t-block
+           overlapping that pc, so every block containing it was
+           decoded and its score is FULL — θ is the kth of a subset of
+           true scores, hence ≤ the true kth score (admissible).  Docs
+           outside seed pcs whose blocks merely straddle a seed pc are
+           dropped, never scored partially: with negative idf (df > N
+           after mass deletes) a partial score can EXCEED the full one
+           (an omitted term's contribution is negative), which would
+           inflate θ and prune a true top-k doc.
         2. rest pass — blocks overlapping any surviving pseudo-chunk
-           (bound ≥ θ, non-seed) are decoded; the final merge
-           max-dedups per doc over the seed ∪ rest union.  For any doc
-           whose own pseudo-chunk survives (or is a seed), some
-           appearance carries the FULL score and max picks it; docs in
-           pruned pseudo-chunks only ever appear with scores < θ and
-           cannot displace the true top-k.
+           (bound ≥ θ, non-seed) are decoded, restricted the same way
+           to docs whose own pc survives (full scores again).  Docs in
+           pruned pseudo-chunks score ≤ bound < θ ≤ true kth score and
+           cannot displace the top-k.  Seed and surviving pc sets are
+           disjoint, every retained score is full, so the final merge
+           is a plain union — no per-doc max-dedup shuffle.
         """
         from pyspark.sql import functions as F
 
@@ -385,14 +416,23 @@ class FTSIndex:
         seed_blocks = (exploded
                        .join(F.broadcast(seed_sel), "pc", "left_semi")
                        .dropDuplicates(block_key).drop("pc"))
+        def _own_pc(scored, pcs):
+            """Restrict to docs whose own pseudo-chunk is in ``pcs`` —
+            exactly the docs the pass scored FULLY (see docstring)."""
+            return (scored
+                    .withColumn("pc", (F.col("doc_id") / G).cast("long"))
+                    .join(F.broadcast(pcs), "pc", "left_semi")
+                    .drop("pc"))
+
         # Cached: the θ collect materializes it, the final union reuses
-        # it (small: one (doc_id, score) row per seed doc).  One cached
-        # generation per index — the previous query's seed cache is
-        # dropped here so repeated queries don't accumulate blocks.
+        # it (small: one (doc_id, score) row per seed-pc doc).  One
+        # cached generation per index — the previous query's seed cache
+        # is dropped here so repeated queries don't accumulate blocks.
         prev = getattr(self, "_seed_cache", None)
         if prev is not None:
             prev.unpersist(False)
-        seed_scored = self._score(seed_blocks, idf, filters).persist()
+        seed_scored = _own_pc(
+            self._score(seed_blocks, idf, filters), seed_sel).persist()
         self._seed_cache = seed_scored
         seed_topk = (seed_scored
                      .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -405,9 +445,11 @@ class FTSIndex:
         rest_blocks = (exploded
                        .join(F.broadcast(surviving), "pc", "left_semi")
                        .dropDuplicates(block_key).drop("pc"))
-        rest_scored = self._score(rest_blocks, idf, filters)
-        return (seed_scored.unionByName(rest_scored)
-                .groupBy("doc_id").agg(F.max("score").alias("score")))
+        rest_scored = _own_pc(
+            self._score(rest_blocks, idf, filters), surviving)
+        # seed and surviving pc sets are disjoint and each side carries
+        # only full scores, one row per doc — plain union, no dedup
+        return seed_scored.unionByName(rest_scored)
 
     def search_conversations(self, query_text: str, k: int = 10,
                              agg: str = "max",

@@ -10,10 +10,10 @@ place — a full recompute into a fresh table makes it unnecessary,
 SURVEY §2.4).
 
 Spark-first shape: each refresh is ONE deterministic batch job that
-recomputes the aggregate from source and atomically swaps the output
-directory (write to ``<out>.next`` → rename), so readers never see a
-half-written table and a crashed refresh leaves the previous
-generation intact.  The timer itself belongs to the orchestrator
+recomputes the aggregate from source into a fresh generation directory
+and atomically repoints the output path at it (symlink/pointer swap —
+one rename), so readers never see a half-written table or a missing
+path, and a crashed refresh leaves the previous generation live.  The timer itself belongs to the orchestrator
 (cron / Airflow / Databricks jobs — the analogue of the reference's
 ``@Scheduled`` annotations); the periods to configure there are the
 reference's own:
@@ -37,17 +37,40 @@ ACTIVITY_PERIOD_S = 900           # Workload.java:39-41
 
 
 def _atomic_swap_write(df, out_path: str) -> None:
-    """Write ``df`` to ``out_path`` via a next-generation directory and
-    rename — readers always see a complete generation."""
-    nxt = out_path.rstrip("/") + ".next"
-    shutil.rmtree(nxt, ignore_errors=True)
-    df.write.mode("overwrite").parquet(nxt)
-    old = out_path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(out_path):
-        os.replace(out_path, old)
-    os.replace(nxt, out_path)
-    shutil.rmtree(old, ignore_errors=True)
+    """Write ``df`` as a new generation and atomically repoint
+    ``out_path`` at it.
+
+    Generations are immutable sibling directories
+    (``<out>.gen-<N>``); ``out_path`` itself is a symlink to the live
+    generation, swapped with ``symlink + os.replace`` — one atomic
+    rename, so a concurrent reader of the plain path always resolves a
+    complete generation and a crash at ANY point leaves the previous
+    generation live (the round-2 two-rename swap had a window where
+    the output path did not exist).  Older generations are GC'd after
+    the swap; a crash before GC leaves an orphan ``.gen-*`` dir the
+    next refresh removes.  On object storage (no symlinks) the same
+    pattern is the pointer-file/manifest commit Iceberg snapshots use —
+    swap a small pointer, never the data."""
+    out_path = out_path.rstrip("/")
+    parent = os.path.dirname(out_path) or "."
+    base = os.path.basename(out_path)
+    os.makedirs(parent, exist_ok=True)
+    prior = sorted(d for d in os.listdir(parent)
+                   if d.startswith(base + ".gen-"))
+    n = 1 + max((int(d.rsplit("-", 1)[1]) for d in prior), default=-1)
+    gen = f"{out_path}.gen-{n:06d}"
+    df.write.mode("overwrite").parquet(gen)
+    if os.path.lexists(out_path) and not os.path.islink(out_path):
+        # one-time migration from a pre-generation layout: the old
+        # directory must move aside before a symlink can take the name
+        shutil.rmtree(out_path)
+    tmp_link = f"{out_path}.swap"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(os.path.basename(gen), tmp_link)
+    os.replace(tmp_link, out_path)        # the atomic commit point
+    for d in prior:
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
 def refresh_popularity(spark, events, out_dir: str, *,

@@ -19,8 +19,9 @@ schema plus an ``op`` column (``upsert`` | ``delete``) and an optional
   deletes independently against the pre-batch snapshot, so a
   micro-batch is first reduced to ONE final op per (conv_id,
   turn_idx): the op with the highest ``seq`` (falling back to ``ts``
-  when no ``seq`` column exists) wins; at equal sequence a delete
-  wins (conservative tie-break).  This makes ordered changelog
+  when the micro-batch carries no seq values; mixed presence fails
+  loudly) wins; at equal sequence a delete wins (conservative
+  tie-break).  This makes ordered changelog
   sequences like [delete k, upsert k] and [upsert k, delete k] net to
   the correct final state, and collapses duplicate upserts of one key
   to a single revision.  Revision dedup inside ``apply_updates`` then
@@ -65,11 +66,24 @@ def stream_updates(spark, index_dir: str, changelog_dir: str, *,
     def handle(batch_df, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        # collapse to the final op per key (see module docstring);
-        # changelog files without a seq column read it as null →
-        # the per-row ts is the fallback sequence
-        seq = F.coalesce(F.col("seq").cast("double"),
-                         F.col("ts").cast("double"))
+        # Collapse to the final op per key (see module docstring).
+        # The ordering key is seq when the micro-batch carries it, ts
+        # otherwise — decided PER BATCH, never per row: a per-row
+        # coalesce(seq, ts) would compare small sequence numbers
+        # against epoch seconds whenever seq is only partially
+        # populated, letting any ts-fallback row outrank every
+        # seq-bearing row.  Mixed presence within one batch has no
+        # well-defined order, so it fails loudly (ADVICE round 2).
+        counts = batch_df.agg(F.count("*").alias("n"),
+                              F.count("seq").alias("n_seq")).collect()[0]
+        n, n_seq = int(counts["n"]), int(counts["n_seq"])
+        if 0 < n_seq < n:
+            raise ValueError(
+                f"changelog micro-batch {batch_id} mixes rows with and "
+                f"without seq ({n_seq}/{n} populated) — sequence "
+                "numbers must be all-or-nothing per batch")
+        seq = (F.col("seq").cast("double") if n_seq
+               else F.col("ts").cast("double"))
         w = Window.partitionBy(*KEYS).orderBy(
             seq.desc_nulls_last(), F.asc("op"))
         last = (batch_df.withColumn("_rn", F.row_number().over(w))
