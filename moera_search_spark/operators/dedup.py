@@ -4,13 +4,14 @@ reference's revision-dedup semantics (reference:
 scanner/ingest/PostingIngest.java:140-146,177-184 skips re-indexing
 unchanged revisions; our exact-dup fingerprint is the batch analogue).
 
-Exact, n-gram-Jaccard, SimHash and embedding-cosine dedup have DuckDB
-oracle twins.  MinHash-LSH and SimHash use md5-derived 48-bit integer
-hashes (deterministic, reproducible in pure python for the pytest
-oracle AND in DuckDB via CAST('0x'||hex AS BIGINT)); only MinHash-LSH
-is listed without a SQL oracle (the banded min-per-permutation
-signature is not reasonably ANSI-SQL-expressible — driver runs the
-rows-only check) and is value-verified in tests/test_dedup.py.
+Every variant has a DuckDB oracle twin.  MinHash-LSH and SimHash use
+md5-derived 48-bit integer hashes (deterministic, reproducible in
+pure python for the pytest oracle AND in DuckDB via
+CAST('0x'||hex AS BIGINT)); the banded min-per-permutation signature
+is plain integer column algebra, so since round 3 MinHash-LSH is
+hash-verified end-to-end too (signatures → band buckets → candidate
+join → exact-Jaccard verify) and stays value-verified in
+tests/test_dedup.py as belt-and-braces.
 
 Scale notes: every variant is a shuffle-on-key plan — fingerprint
 groupBy (exact), shingle-join restricted to shared shingles (Jaccard),
@@ -194,6 +195,23 @@ def minhash_signatures(spark, sf_dir, n_hashes: int = N_HASHES):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+# One persisted generation per session for dedup_minhash_lsh (the
+# same discipline as the query path's seed cache, query.py): repeated
+# catalog invocations release the previous run's executor storage
+# before persisting their own.
+_LSH_PERSIST_CACHE: list = []
+
+
+def _lsh_release_persists() -> None:
+    global _LSH_PERSIST_CACHE
+    for df in _LSH_PERSIST_CACHE:
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
+    _LSH_PERSIST_CACHE = []
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding: band signature → bucket join → candidate
     pairs → verified by true Jaccard ≥ threshold.
@@ -202,6 +220,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     pair space is the union of per-bucket cliques, not n²."""
     from pyspark.sql import functions as F
 
+    _lsh_release_persists()
     sig = minhash_signatures(spark, sf_dir)
     rows_per_band = N_HASHES // N_BANDS
     # All bands from ONE pass over the signatures: an array-of-structs
@@ -244,11 +263,18 @@ def dedup_minhash_lsh(spark, sf_dir):
     # join (the pairs are already keyed on the join columns).
     cand = cand.persist()
     n_cand = cand.count()
+    # the banding plan is fully consumed once the candidate count
+    # materializes — release it now; cand/sh are registered in the
+    # one-generation cache the next invocation (or a session cleanup)
+    # releases after the caller materializes the result
+    banded.unpersist(False)
+    _LSH_PERSIST_CACHE.append(cand)
     cand_join = F.broadcast(cand) if n_cand <= CAND_BROADCAST_MAX \
         else cand
     # persisted: the shingle set feeds three consumers below (sizes +
     # both sides of the intersection join)
     sh = _bigrams(spark, sf_dir).persist()
+    _LSH_PERSIST_CACHE.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sh_a = sh.select(F.col("doc_id").alias("cand_a"),
                      F.col("shingle").alias("s"))
@@ -271,6 +297,59 @@ def dedup_minhash_lsh(spark, sf_dir):
                 F.round(F.col("jaccard") * 1e6).cast("long")
                 .alias("jaccard_e6"))
     )
+
+
+def _minhash_lsh_sql() -> str:
+    """DuckDB twin of dedup_minhash_lsh — same md5-derived 48-bit
+    shingle hash, same affine permutations min-folded per doc
+    (integers stay inside int64: h < 2^48, a_i ≤ 61), same
+    md5-of-joined-rows band buckets, same candidate join + exact
+    Jaccard verify.  Converts the entry from rows-only to full hash
+    verification (VERDICT round 2 item 2); the pure-python oracle in
+    tests stays as belt-and-braces."""
+    rpb = N_HASHES // N_BANDS
+    sig_cols = ",\n             ".join(
+        f"min((h * {_PERM_A[i]} + {_PERM_B[i]}) % {_MERSENNE}) AS mh{i}"
+        for i in range(N_HASHES))
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig"
+        .format(b=bnd, cat=" || '_' || ".join(
+            f"CAST(mh{bnd * rpb + r} AS VARCHAR)" for r in range(rpb)))
+        for bnd in range(N_BANDS))
+    return f"""
+    {_BIGRAMS_SQL},
+    h AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+          FROM shingles),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM h GROUP BY doc_id),
+    banded AS (
+{band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS cand_a, b.doc_id AS cand_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT cand_a, cand_b, count(*) AS inter
+      FROM cand
+      JOIN shingles sa ON sa.doc_id = cand_a
+      JOIN shingles sb ON sb.doc_id = cand_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT cand_a AS id_a, cand_b AS id_b,
+           CAST(round(inter / (sa.n + sb.n - inter) * 1e6) AS BIGINT)
+             AS jaccard_e6
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = cand_a
+    JOIN sizes sb ON sb.doc_id = cand_b
+    WHERE inter / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+DEDUP_MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
 def dedup_simhash(spark, sf_dir, bits: int = 32):
@@ -373,7 +452,7 @@ DEDUP_EMBEDDING_COSINE_SQL = """
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, None),  # rows-only check
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding_cosine":
         (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),

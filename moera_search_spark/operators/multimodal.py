@@ -214,6 +214,27 @@ def multimodal_decode_features(spark, sf_dir, decode_stub: str = "bmp"):
                          "doc_id long, features array<double>")
 
 
+def multimodal_decode_features_hashable(spark, sf_dir):
+    """Driver-checkable twin of ``multimodal_decode_features``: the
+    SAME real BMP decode → thumbnail → feature pipeline, with the
+    feature vector emitted as ONE hashable column — each dimension
+    e6-rounded and comma-joined into a string.  The correctness
+    harness canonicalizes results via pandas ``sort_values`` over all
+    columns, which cannot hash ``array<double>`` cells (round-2 driver
+    row errored on exactly that); scalar columns keep the row checked.
+    The raw-array variant stays for pytest value verification."""
+    from pyspark.sql import functions as F
+
+    raw = multimodal_decode_features(spark, sf_dir)
+    return raw.select(
+        "doc_id",
+        F.array_join(
+            F.transform("features",
+                        lambda x: F.round(x * 1e6).cast("long")
+                        .cast("string")),
+            ",").alias("features_e6"))
+
+
 # ------------------------------------------------ video: frame sampling
 
 def encode_video(frames: list) -> bytes:
@@ -350,7 +371,8 @@ QUERIES = {
     # decode path has no SQL equivalent (binary image decode): rows-only
     # check by the driver; the full decode→thumbnail→features pipeline
     # is value-verified in tests against an independent python decoder.
+    # The catalog registers the hashable-schema twin (e6 string) so the
+    # harness can canonicalize the rows (VERDICT round 2 item 1).
     "multimodal_decode_features":
-        (lambda spark, sf_dir: multimodal_decode_features(spark, sf_dir),
-         None),
+        (multimodal_decode_features_hashable, None),
 }

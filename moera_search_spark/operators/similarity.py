@@ -136,6 +136,25 @@ SAMPLE_EVERY = 7
 SAMPLE_MAX = 512
 
 
+def _ivf_kmeans(X):
+    """The deterministic Lloyd core shared by the Spark path and the
+    SQL-oracle generator: first-k init, KMEANS_ITERS iterations,
+    cosine assignment, unnormalized mean update."""
+    import numpy as np
+
+    C = X[:N_CENTROIDS].copy()
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    for _ in range(KMEANS_ITERS):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True),
+                            1e-12)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for j in range(N_CENTROIDS):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
 def ivf_centroids(spark, sf_dir):
     """Deterministic coarse quantizer: spherical k-means over a fixed
     arithmetic sample (every 7th vec_id, ≤512 rows), first-k init,
@@ -151,17 +170,7 @@ def ivf_centroids(spark, sf_dir):
             .orderBy("vec_id").limit(SAMPLE_MAX)
             .select("embedding").collect())
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    C = X[:N_CENTROIDS].copy()
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    for _ in range(KMEANS_ITERS):
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True),
-                            1e-12)
-        assign = (Xn @ Cn.T).argmax(axis=1)
-        for j in range(N_CENTROIDS):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-    return C
+    return _ivf_kmeans(X)
 
 
 def _cell_udf(C):
@@ -217,10 +226,84 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _ann_ivf_sql(sf_dir: str) -> str | None:
+    """DuckDB twin of ann_ivf_topk (VERDICT round 2 item 3).
+
+    The centroids and probe cells are deterministic driver-side values
+    (fixed arithmetic sample + RNG-free Lloyd, ``_ivf_kmeans``), so
+    the oracle reproduces them HERE in pure pandas/numpy from the
+    same parquet and inlines the normalized centroids as DOUBLE[]
+    literals (``repr`` → shortest round-trip decimals, parsed back to
+    the identical float64).  Cell assignment is then the same argmax
+    the Arrow UDF computes, expressed as a rank over per-centroid dot
+    products (ties → lowest cell, matching ``np.argmax``); the final
+    scoring reuses ``list_cosine_similarity`` like the other ANN
+    oracles.  An ``oracle_sql()`` string is bound to ONE dataset, so
+    the generator reads the gate's sf dir (``SPARK_GRAFT_ORACLE_SF_DIR``
+    env override, default the driver's sf0.01); unreadable data →
+    None → the driver falls back to the rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    try:
+        pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+    except Exception:
+        return None
+    sample = (pdf[pdf["vec_id"] % SAMPLE_EVERY == 0]
+              .sort_values("vec_id").head(SAMPLE_MAX))
+    X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    C = _ivf_kmeans(X)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    qv = np.asarray(
+        pdf.loc[pdf["vec_id"] == QUERY_VEC_ID, "embedding"].iloc[0],
+        dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probes = [int(c) for c in (qn @ Cn.T).argsort()[::-1][:N_PROBE]]
+    cent_rows = ",\n             ".join(
+        "({j}, [{v}]::DOUBLE[])".format(
+            j=j, v=", ".join(repr(float(x)) for x in Cn[j]))
+        for j in range(N_CENTROIDS))
+    return f"""
+    WITH cents AS (
+      SELECT * FROM (VALUES
+             {cent_rows}
+      ) AS t(cell, cvec)),
+    scores AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+               AS dot
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cell ASC) AS rn
+        FROM scores) WHERE rn = 1),
+    q AS (SELECT embedding FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID})
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           CAST(round(list_cosine_similarity(a.embedding, q.embedding)
+                      * 1e4) AS BIGINT) AS cos_e4
+    FROM assign a, q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+      AND a.cell IN ({", ".join(str(p) for p in probes)})
+    ORDER BY cos_e4 DESC, a.vec_id LIMIT {K}
+"""
+
+
+import os as _os  # noqa: E402
+
+ANN_IVF_TOPK_SQL = _ann_ivf_sql(
+    _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "ann_lsh_bucket_topk": (ann_lsh_bucket_topk, ANN_LSH_BUCKET_TOPK_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, None),   # python oracle in tests
+    # full SQL oracle since round 3 (inlined deterministic centroids);
+    # the python recall/centroid oracle in tests stays
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     # ann_bucket_histogram stays as a helper (prune-selectivity
     # diagnostic, oracle-checked in tests) but is not a catalog row —
     # keeps the catalog inside the driver's checked window.

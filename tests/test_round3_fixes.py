@@ -208,6 +208,40 @@ class TestBatchIdTokens:
             _fs_token("")
 
 
+class TestLshPersistDiscipline:
+    def test_no_storage_growth_across_invocations(self, spark):
+        from moera_search_spark.operators.dedup import dedup_minhash_lsh
+
+        sf = "/root/testdata/sf0.001"
+        dedup_minhash_lsh(spark, sf).collect()
+        n1 = spark.sparkContext._jsc.getPersistentRDDs().size()
+        for _ in range(2):
+            dedup_minhash_lsh(spark, sf).collect()
+        n2 = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert n2 <= n1     # one-generation cache: no accumulation
+
+
+class TestMultimodalHashableTwin:
+    def test_matches_raw_features(self, spark):
+        from moera_search_spark.operators.multimodal import (
+            multimodal_decode_features,
+            multimodal_decode_features_hashable,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        raw = {int(r["doc_id"]): r["features"]
+               for r in multimodal_decode_features(spark, sf).collect()}
+        hashed = {int(r["doc_id"]): r["features_e6"]
+                  for r in multimodal_decode_features_hashable(
+                      spark, sf).collect()}
+        assert set(raw) == set(hashed) and raw
+        for d, feats in raw.items():
+            got = [int(x) / 1e6 for x in hashed[d].split(",")]
+            assert len(got) == len(feats)
+            for g, f in zip(got, feats):
+                assert abs(g - f) <= 1.5e-6   # e6 rounding granularity
+
+
 class TestStreamingSeqPresence:
     def _changelog_row(self, conv, turn, text, op, seq):
         import datetime

@@ -35,6 +35,10 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-bound oracle SQL (ann_ivf_topk inlines centroid literals)
+    # must be generated for the sf this check runs at
+    import os
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[16]")
