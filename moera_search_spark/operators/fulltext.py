@@ -92,7 +92,10 @@ FTS_TERM_STATS_SQL = f"""
 
 
 def fts_doc_lengths(spark, sf_dir):
-    """dl per document (the norms sidecar)."""
+    """dl per document (the norms sidecar).  No longer a catalog row:
+    it is a strict sub-plan of ``fts_corpus_stats`` (its dl CTE) and
+    the engine's own doc lengths are pytest-verified; the slot went to
+    ``fts_search_conversations`` (VERDICT round 2 item 8)."""
     from pyspark.sql import functions as F
 
     return _toks(spark, sf_dir).groupBy("doc_id").agg(
@@ -103,6 +106,58 @@ FTS_DOC_LENGTHS_SQL = f"""
     WITH toks AS ({_TOKS_SQL})
     SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
 """
+
+
+def fts_search_conversations(spark, sf_dir):
+    """Conversation-level top-k: per-turn BM25 scores (the exact
+    ``fts_bm25_topk`` scoring plan) rolled up per conversation with
+    best-turn (max) semantics + matched-turn count — the SQL-parity
+    twin of the engine's ``FTSIndex.search_conversations``
+    (query.py) and the analogue of the reference folding comments
+    into their parent posting via the ALL entry type
+    (reference: EntryRepository.java:172-181).  ``source`` stands in
+    for conv_id on the documents table.  The rollup aggregates the
+    already-e6-rounded per-doc scores, so max() is integer-exact
+    cross-engine."""
+    from pyspark.sql import functions as F
+
+    scored = _bm25_scored(spark, sf_dir, QUERY_TERMS)
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    per_conv = (scored.join(d, "doc_id")
+                .groupBy("source")
+                .agg(F.max("score_e6").alias("score_e6"),
+                     F.count("*").alias("n_turns")))
+    return (per_conv.orderBy(F.desc("score_e6"), F.asc("source"))
+            .limit(K))
+
+
+def _search_conversations_sql():
+    terms = ", ".join(repr(t) for t in QUERY_TERMS)
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({terms}) GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(sum(
+               ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + 1.2 * (1 - 0.75
+                                         + 0.75 * dl.dl / corpus.avgdl))
+             ) * 1e6) AS BIGINT) AS score_e6
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+      GROUP BY tf.doc_id)
+    SELECT d.source, max(score_e6) AS score_e6,
+           count(*) AS n_turns
+    FROM scored JOIN documents d ON d.doc_id = scored.doc_id
+    GROUP BY d.source
+    ORDER BY score_e6 DESC, d.source LIMIT {K}
+"""
+
+
+FTS_SEARCH_CONVERSATIONS_SQL = _search_conversations_sql()
 
 
 def _bm25_scored(spark, sf_dir, q_terms):
@@ -214,22 +269,49 @@ FTS_CONJUNCTIVE_AND_SQL = f"""
 """
 
 
-def fts_prefix_match(spark, sf_dir):
-    """Prefix query over the term dictionary — the reference's
-    fulltext prefix search builds `term*` wildcards ANDed together
-    (reference: NodeSearchRepository.java:296-299)."""
+PREFIXES = ["sc", "jo"]   # the `sc* AND jo*` reference query shape
+
+
+def fts_prefix_and(spark, sf_dir):
+    """Multi-term prefix query — the reference's fulltext prefix
+    search builds one wildcard per query word and ANDs them
+    (``sc* AND jo*``, reference: NodeSearchRepository.java:296-299).
+
+    Spark shape: each prefix scans the dictionary (a LIKE 'p%' range
+    predicate the parquet term sort turns into row-group pruning at
+    index scale), yielding a per-prefix doc set; the AND is a chain of
+    left-semi joins (posting-intersection as join on doc_id, never a
+    cross product).  Emits the per-doc count of distinct matching
+    dictionary terms for the winning docs."""
     from pyspark.sql import functions as F
 
     toks = _toks(spark, sf_dir)
-    return (toks.filter(F.col("term").startswith("sc"))
-            .groupBy("term")
-            .agg(F.countDistinct("doc_id").alias("df")))
+    hits = None
+    for p in PREFIXES:
+        dset = (toks.filter(F.col("term").startswith(p))
+                .select("doc_id").distinct())
+        hits = dset if hits is None else \
+            hits.join(dset, "doc_id", "left_semi")
+    pred = F.col("term").startswith(PREFIXES[0])
+    for p in PREFIXES[1:]:
+        pred = pred | F.col("term").startswith(p)
+    return (toks.filter(pred).join(hits, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n_prefix_terms")))
 
 
-FTS_PREFIX_MATCH_SQL = f"""
-    WITH toks AS ({_TOKS_SQL})
-    SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-    FROM toks WHERE term LIKE 'sc%' GROUP BY term
+FTS_PREFIX_AND_SQL = f"""
+    WITH toks AS ({_TOKS_SQL}),
+    hits AS (
+      SELECT doc_id FROM toks WHERE term LIKE '{PREFIXES[0]}%'
+      INTERSECT
+      SELECT doc_id FROM toks WHERE term LIKE '{PREFIXES[1]}%')
+    SELECT doc_id,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_prefix_terms
+    FROM toks
+    WHERE doc_id IN (SELECT doc_id FROM hits)
+      AND (term LIKE '{PREFIXES[0]}%' OR term LIKE '{PREFIXES[1]}%')
+    GROUP BY doc_id
 """
 
 
@@ -366,11 +448,12 @@ QUERIES = {
     "fts_by_hashtag_keyset": (fts_by_hashtag_keyset,
                               FTS_BY_HASHTAG_KEYSET_SQL),
     "fts_term_stats": (fts_term_stats, FTS_TERM_STATS_SQL),
-    "fts_doc_lengths": (fts_doc_lengths, FTS_DOC_LENGTHS_SQL),
+    "fts_search_conversations": (fts_search_conversations,
+                                 FTS_SEARCH_CONVERSATIONS_SQL),
     "fts_bm25_topk": (fts_bm25_topk, FTS_BM25_TOPK_SQL),
     "fts_bm25_filtered": (fts_bm25_filtered, FTS_BM25_FILTERED_SQL),
     "fts_bm25_lang_routed": (fts_bm25_lang_routed,
                              FTS_BM25_LANG_ROUTED_SQL),
     "fts_conjunctive_and": (fts_conjunctive_and, FTS_CONJUNCTIVE_AND_SQL),
-    "fts_prefix_match": (fts_prefix_match, FTS_PREFIX_MATCH_SQL),
+    "fts_prefix_and": (fts_prefix_and, FTS_PREFIX_AND_SQL),
 }
