@@ -36,10 +36,13 @@ conveniences):
   (map-side partial combine; Catalyst handles two-phase agg); N/avgdl
   come free from the per-bucket staging counts (no extra scan).
 * **Minimum job count** — every Spark job on a 1000-executor cluster
-  pays scheduling + commit overhead, so the build is exactly five jobs:
-  boundary sampling, staging write, staging counts, term_stats,
-  docs write (map-only — staging is already bucket-range-partitioned
-  and sorted, so doc_ids need no shuffle), postings encode+write.
+  pays scheduling + commit overhead, so the build is exactly five
+  data jobs: boundary sampling, staging write, staging counts,
+  term_stats, docs write (map-only — staging is already
+  bucket-range-partitioned and sorted, so doc_ids need no shuffle),
+  postings encode+write; plus one metadata-only job deriving the
+  ``pc_bounds`` pruning sidecar from the written postings metadata
+  columns (bytes per block, not the payloads).
   ``repartitionByRange`` is never used after staging because its
   hidden sampling job re-executes upstream lineage (it would run the
   Python encoder twice).
@@ -384,11 +387,24 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
 
     config = mf.load_config(index_dir) if resume else None
     if config is None:
+        # A fresh (non-resume) build into a dir that already holds an
+        # index starts CLEAN: the previous build's manifest would
+        # otherwise mark stages 'done' against the new config's empty
+        # bucket stats (committing an empty corpus), and stale
+        # tombstones / delta segments / differently-sharded postings
+        # dirs would survive the per-stage dynamic overwrites.  The
+        # wipe is gated on the dir actually being an index (it has a
+        # build config) — arbitrary paths are never deleted.
+        if mf.load_config(index_dir) is not None:
+            import shutil
+
+            shutil.rmtree(index_dir)
         boundaries = compute_boundaries(spark, transcripts, n_buckets)
         config = {"mode": mode, "n_buckets": len(boundaries), "k1": k1,
                   "b": b, "block_size": block_size, "chunk_size": chunk_size,
                   "n_term_buckets": n_term_buckets,
                   "doc_id_offset": doc_id_offset,
+                  "pc_granularity": max(64, chunk_size // 32),
                   "boundaries": boundaries, "bucket_stats": {}}
         mf.save_config(index_dir, config)
     boundaries = config["boundaries"]
@@ -587,6 +603,36 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                     [(-1, "seconds", time.time() - t0)]
                     + ([(-1, "n_docs", float(n_docs))]
                        if stage == "stats" else []))
+
+    # ---- stage 5: pseudo-chunk bound sidecar ----
+    # Per (term, pc) max block bound at the PRUNING granularity G —
+    # the metadata the pruned query path needs to pick seed chunks and
+    # prune, precomputed ONCE here so queries read it with a pyarrow
+    # predicate scan instead of re-deriving it from the postings
+    # metadata (explode + two groupBys) on EVERY query (VERDICT r2
+    # item 5).  Reads the *written* postings table (metadata columns
+    # only — parquet column pruning never touches the block payloads)
+    # rather than the encode lineage, which would re-run the python
+    # encoder.  Layout mirrors postings: term_bucket dirs for partition
+    # pruning, term-sorted rows for row-group min-max pruning.
+    if -1 not in mf.done_partitions(index_dir, "pc_bounds"):
+        t0 = time.time()
+        G = int(config.get("pc_granularity", max(64, chunk_size // 32)))
+        meta = spark.read.parquet(os.path.join(index_dir, "postings")) \
+            .select("term_bucket", "term", "first_doc_id",
+                    "last_doc_id", "max_tfnorm")
+        pcb = (meta.withColumn("pc", F.explode(F.sequence(
+                   (F.col("first_doc_id") / G).cast("long"),
+                   (F.col("last_doc_id") / G).cast("long"))))
+               .groupBy("term_bucket", "term", "pc")
+               .agg(F.max("max_tfnorm").alias("mtf")))
+        (pcb.repartition(n_term_buckets, "term_bucket")
+            .sortWithinPartitions("term", "pc")
+            .write.mode("overwrite").partitionBy("term_bucket")
+            .parquet(os.path.join(index_dir, "pc_bounds")))
+        mf.mark(index_dir, "pc_bounds", [-1], "done")
+        mf.record_metrics(index_dir, run_id, "pc_bounds",
+                          [(-1, "seconds", time.time() - t0)])
 
     total = time.time() - t_start
     # Bookkeeping for incremental maintenance (see incremental.py):

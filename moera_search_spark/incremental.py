@@ -88,7 +88,10 @@ def _tombstones_df(spark, index_dir: str):
     return spark.read.parquet(path).select("doc_id")
 
 
-SEG_SUBDIRS = ("docs", "term_stats", "postings")
+# pc_bounds rides along: a delta segment's per-(term, pc) bound rows
+# land in the same sidecar dirs, and the query-side driver read takes
+# the max across segment rows — bounds stay admissible over deltas.
+SEG_SUBDIRS = ("docs", "term_stats", "postings", "pc_bounds")
 
 
 def _adopt_segment_files(seg_dir: str, index_dir: str, batch_id: str,

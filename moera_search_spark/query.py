@@ -287,9 +287,14 @@ class FTSIndex:
 
     # -- public entry points -------------------------------------------
 
-    # Measured strategy crossover (BASELINE.md round 2): below ~2M live
-    # docs one exhaustive action beats pruning's two; above it the
-    # refined block-max prune reads a shrinking fraction of the corpus.
+    # Measured strategy crossover (BASELINE.md round 2) for indexes
+    # WITHOUT the pc_bounds sidecar: below ~2M live docs one exhaustive
+    # action beats pruning's two; above it the refined block-max prune
+    # reads a shrinking fraction of the corpus.  Sidecar-carrying
+    # indexes don't need the static crossover — the pruned path gates
+    # itself per query from the driver-side bounds (PRUNE_MIN_FRACTION)
+    # and degrades to the single exhaustive action when pruning can't
+    # pay, so ``auto`` just routes to it.
     AUTO_PRUNE_MIN_DOCS = 2_000_000
 
     def search(self, query_text: str, k: int = 10,
@@ -309,8 +314,13 @@ class FTSIndex:
         from pyspark.sql import functions as F
 
         if method == "auto":
-            method = ("pruned" if self.n_docs >= self.AUTO_PRUNE_MIN_DOCS
-                      else "exhaustive")
+            if ("pc_granularity" in self.config and os.path.isdir(
+                    os.path.join(self.index_dir, "pc_bounds"))):
+                method = "pruned"   # self-gating, see AUTO note above
+            else:
+                method = ("pruned"
+                          if self.n_docs >= self.AUTO_PRUNE_MIN_DOCS
+                          else "exhaustive")
         q_terms = self.query_terms(query_text)
         idf = self.idf_map(q_terms)
         matched = [t for t in q_terms if t in idf]
@@ -337,9 +347,334 @@ class FTSIndex:
                       .orderBy(F.desc("score"), F.asc("doc_id")))
         return result
 
+    # Driver-side sidecar ceiling: above this many (term, pc) rows the
+    # per-query pyarrow read stops being a point lookup (a head term
+    # over a 10^12-doc corpus has ~10^9 pseudo-chunks) and the
+    # distributed bounds plan takes over.
+    SIDECAR_MAX_ROWS = 5_000_000
+    # Above this many surviving pseudo-chunks pruning isn't buying
+    # anything — score everything (rank-identical by definition).
+    SURVIVING_MAX_PCS = 100_000
+    # Prunability gate (sidecar path): once the exact θ is known
+    # driver-side, pruning must remove at least this fraction of
+    # pseudo-chunks for the block-selection machinery to beat a plain
+    # exhaustive pass over the query-term blocks; below it, run
+    # exhaustive (rank-identical by definition).  Tests force the
+    # machinery by setting the attribute negative on the instance.
+    PRUNE_MIN_FRACTION = 0.1
+    # Driver-side tombstone read ceiling for the seed-θ pass (bytes);
+    # a delete-heavier index falls back to the distributed path.
+    TOMBSTONE_READ_MAX = 64 * 1024 * 1024
+
     def _pruned_scored(self, postings_sel, idf: dict[str, float],
                        filters, k: int, seed_chunks: int = 32,
                        granularity: int | None = None):
+        """Block-range-refined block-max pruning (the BMW analogue).
+
+        Dispatcher: when the index carries the build-time ``pc_bounds``
+        sidecar at the requested granularity (and the query's bound
+        rows fit a driver read), seed selection and pruning decisions
+        come from ONE pyarrow metadata scan — the same point-lookup
+        shape as ``idf_map`` — and the two Spark actions shrink to
+        pure decode+score passes over range-predicate-selected blocks
+        (VERDICT round 2 item 5).  Otherwise the fully distributed
+        bounds plan below runs (``_pruned_scored_dynamic``) — the
+        scale path when the driver read would be too large."""
+        G = granularity or max(64, self.chunk_size // 32)
+        if ("pc_granularity" in self.config
+                and G == int(self.config["pc_granularity"])):
+            pdf = self._pc_bounds_pdf(sorted(idf))
+            if pdf is not None:
+                return self._pruned_scored_sidecar(
+                    postings_sel, idf, filters, k, seed_chunks, G, pdf)
+        return self._pruned_scored_dynamic(
+            postings_sel, idf, filters, k, seed_chunks, G)
+
+    def _pc_bounds_pdf(self, terms: list[str]):
+        """(term, pc, mtf) rows for the query terms from the sidecar,
+        or None when the sidecar is absent (pre-round-3 index, or a
+        base index whose config predates the sidecar) or the row count
+        exceeds the driver ceiling.  term_bucket partition dirs prune
+        the listing; the term predicate pushes into row-group min-max
+        stats (rows are term-sorted within files)."""
+        path = os.path.join(self.index_dir, "pc_bounds")
+        if not terms or not os.path.isdir(path):
+            return None
+        import pyarrow.dataset as pads
+
+        from .build import term_bucket
+
+        buckets = sorted({term_bucket(t, self.n_term_buckets)
+                          for t in terms})
+        try:
+            dset = pads.dataset(path, partitioning="hive")
+            tbl = dset.to_table(
+                filter=(pads.field("term").isin(terms)
+                        & pads.field("term_bucket").isin(buckets)),
+                columns=["term", "pc", "mtf"])
+        except Exception:
+            return None
+        if tbl.num_rows > self.SIDECAR_MAX_ROWS:
+            return None
+        return tbl.to_pandas()
+
+    @staticmethod
+    def _pc_intervals(pcs) -> list[tuple[int, int]]:
+        """Sorted pc list → merged [lo, hi] runs (inclusive)."""
+        out: list[tuple[int, int]] = []
+        for p in pcs:
+            p = int(p)
+            if out and p == out[-1][1] + 1:
+                out[-1] = (out[-1][0], p)
+            else:
+                out.append((p, p))
+        return out
+
+    def _select_pcs(self, blocks_or_scored, pcs, G: int, kind: str):
+        """Restrict a plan to a pc set.
+
+        ``docs``: doc_id's own pc ∈ set — an ``isin`` over the (≤ a few
+        thousand) pc literals compiles to one InSet probe; larger sets
+        go through a broadcast semi-join.  ``blocks``: range overlap is
+        not an equality, so membership goes through the pc
+        sequence-explode + broadcast semi-join (the span is ≤
+        chunk_size/G pcs per block).  Deep OR-of-range predicates are
+        deliberately avoided: Catalyst's constraint propagation is
+        super-linear in OR fan-out and a ~100-branch predicate costs
+        seconds of DRIVER planning per action (measured)."""
+        from pyspark.sql import functions as F
+
+        if kind == "docs":
+            pc_col = (F.col("doc_id") / G).cast("long")
+            if len(pcs) <= 4096:
+                return blocks_or_scored.filter(
+                    pc_col.isin([int(p) for p in pcs]))
+            pcs_df = F.broadcast(self.spark.createDataFrame(
+                [(int(p),) for p in pcs], "pc long"))
+            return (blocks_or_scored.withColumn("pc", pc_col)
+                    .join(pcs_df, "pc", "left_semi").drop("pc"))
+        intervals = self._pc_intervals(pcs)
+        if len(intervals) <= 8:
+            # few contiguous runs → a small range predicate, no join
+            pred = None
+            for lo, hi in intervals:
+                p = ((F.col("first_doc_id") <= (hi + 1) * G - 1)
+                     & (F.col("last_doc_id") >= lo * G))
+                pred = p if pred is None else (pred | p)
+            return blocks_or_scored.filter(pred)
+        pcs_df = F.broadcast(self.spark.createDataFrame(
+            [(int(p),) for p in pcs], "pc long"))
+        keyed = blocks_or_scored.withColumn("pc", F.explode(
+            F.sequence((F.col("first_doc_id") / G).cast("long"),
+                       (F.col("last_doc_id") / G).cast("long"))))
+        return (keyed.join(pcs_df, "pc", "left_semi")
+                .dropDuplicates(["term", "first_doc_id"]).drop("pc"))
+
+    def _pruned_scored_sidecar(self, postings_sel, idf, filters,
+                               k: int, seed_chunks: int, G: int, pdf):
+        """Sidecar-driven pruning with a DRIVER-SIDE seed pass — ONE
+        Spark action total.
+
+        The seed blocks are bounded by construction (``seed_chunks``
+        pcs × query terms × a handful of blocks each), so the θ pass
+        doesn't need a cluster: the driver reads exactly those block
+        rows with a pyarrow predicate scan and scores them with the
+        same numpy decode the executors use (``_driver_seed_theta``,
+        bit-parity fold, minus a 1e-9 slack for cross-path float
+        safety).  Surviving pcs = {bound ≥ θ} are then known BEFORE
+        any job, and Spark runs a single decode+score pass over the
+        surviving blocks — the BMW two-action floor drops to one.
+
+        Admissibility of the single pass: every true top-k doc's own
+        pc survives (its bound ≥ its full score ≥ θ), and a doc whose
+        own pc survives is FULLY scored (each of its term blocks
+        overlaps that pc).  With all idf ≥ 0, a straddle doc from a
+        pruned pc can only surface with partial ≤ full ≤ its own
+        bound < θ — it cannot displace the top-k, so no dedup or
+        filter is needed.  With any negative idf (partial can exceed
+        full) the result is restricted to docs whose own pc survives —
+        the strict regime pinned by tests/test_round3_fixes.py.
+
+        Fallbacks: oversized tombstones or unreadable metadata →
+        ``_pruned_scored_dynamic`` (fully distributed); weak pruning
+        (< PRUNE_MIN_FRACTION of pcs removed) or an oversized
+        surviving set → plain exhaustive, rank-identical by
+        definition.
+        """
+        import numpy as np
+
+        strict = any(v < 0 for v in idf.values())
+        min_enc = float(self.config.get("min_encode_avgdl", self.avgdl)
+                        or self.avgdl)
+        factor = max(1.0, self.avgdl / min_enc) if min_enc > 0 else 1.0
+        # delta segments append their own (term, pc) rows → max first
+        agg = pdf.groupby(["term", "pc"], as_index=False)["mtf"].max()
+        idf_arr = agg["term"].map(idf).to_numpy(dtype=np.float64)
+        ub = np.maximum(idf_arr * agg["mtf"].to_numpy(dtype=np.float64)
+                        * factor, 0.0)
+        bounds = (pd.DataFrame({"pc": agg["pc"].to_numpy(), "ub": ub})
+                  .groupby("pc")["ub"].sum())
+        order = bounds.reset_index().sort_values(
+            ["ub", "pc"], ascending=[False, True], kind="mergesort")
+        seed_pcs = sorted(int(p) for p in
+                          order["pc"].head(seed_chunks).to_numpy())
+        if not seed_pcs:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        theta = self._driver_seed_theta(sorted(idf), idf, filters,
+                                        seed_pcs, G, k)
+        if theta is None:
+            return self._pruned_scored_dynamic(
+                postings_sel, idf, filters, k, seed_chunks, G)
+        if np.isfinite(theta):
+            theta -= 1e-9          # cross-path float-parity slack
+        surviving = sorted(int(p) for p, bnd in bounds.items()
+                           if bnd >= theta)
+        pruned_frac = 1.0 - len(surviving) / max(len(bounds), 1)
+        if pruned_frac < self.PRUNE_MIN_FRACTION \
+                or len(surviving) > self.SURVIVING_MAX_PCS:
+            return self._score(postings_sel, idf, filters)
+        blocks = self._select_pcs(postings_sel, surviving, G, "blocks")
+        scored = self._score(blocks, idf, filters)
+        if strict:
+            scored = self._select_pcs(scored, surviving, G, "docs")
+        return scored
+
+    def _driver_seed_theta(self, matched, idf, filters, seed_pcs,
+                           G: int, k: int):
+        """Exact θ (kth best true score among live, filter-passing
+        docs whose own pc is a seed) computed entirely on the driver.
+
+        Reads only the blocks overlapping the seed pcs (pyarrow range
+        predicate over the term_bucket-pruned postings dirs), decodes
+        them with the SAME vectorized codec the executors run, and
+        reduces per doc in sorted-term order (left-to-right, float64)
+        — the engine's bit-parity fold.  θ over a subset of true
+        filtered scores is ≤ the true filtered kth score:
+        admissible.  Returns −inf when fewer than k docs qualify
+        (pruning then keeps every pc with bound ≥ −inf, i.e. none is
+        dropped), or None to signal fallback (tombstones above the
+        driver read ceiling, unreadable metadata)."""
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        from .build import term_bucket
+        from .incremental import TOMBSTONES
+        from .postings import decode_blocks_batch, tfnorm
+
+        intervals = self._pc_intervals(seed_pcs)
+        buckets = sorted({term_bucket(t, self.n_term_buckets)
+                          for t in matched})
+        ov = None
+        for lo, hi in intervals:
+            p = ((pads.field("first_doc_id") <= (hi + 1) * G - 1)
+                 & (pads.field("last_doc_id") >= lo * G))
+            ov = p if ov is None else (ov | p)
+        try:
+            dset = pads.dataset(
+                os.path.join(self.index_dir, "postings"),
+                partitioning="hive")
+            tbl = dset.to_table(
+                filter=(pads.field("term").isin(matched)
+                        & pads.field("term_bucket").isin(buckets) & ov),
+                columns=["term", "first_doc_id", "n_docs", "deltas",
+                         "tfs", "dls"])
+        except Exception:
+            return None
+        if tbl.num_rows == 0:
+            return float("-inf")
+        bpdf = tbl.to_pandas()
+        counts = bpdf["n_docs"].to_numpy(np.int64)
+        doc_ids, tf, dl = decode_blocks_batch(
+            bpdf["first_doc_id"].to_numpy(np.int64), counts,
+            list(bpdf["deltas"]), list(bpdf["tfs"]), list(bpdf["dls"]))
+        contrib = np.repeat(
+            bpdf["term"].map(idf).to_numpy(np.float64), counts) \
+            * tfnorm(tf, dl, self.avgdl, self.k1, self.b)
+        terms_rep = np.repeat(bpdf["term"].to_numpy(), counts)
+        own = np.isin(doc_ids // G, np.asarray(seed_pcs, np.int64))
+        doc_ids, contrib, terms_rep = \
+            doc_ids[own], contrib[own], terms_rep[own]
+        if doc_ids.size == 0:
+            return float("-inf")
+        # live-docs mask (tombstones), bounded driver read
+        tomb_dir = os.path.join(self.index_dir, TOMBSTONES)
+        if os.path.isdir(tomb_dir):
+            files = [os.path.join(tomb_dir, f)
+                     for f in os.listdir(tomb_dir)
+                     if f.endswith(".parquet")]
+            if sum(os.path.getsize(f) for f in files) \
+                    > self.TOMBSTONE_READ_MAX:
+                return None
+            if files:
+                tomb = pads.dataset(files).to_table(
+                    columns=["doc_id"])["doc_id"].to_numpy()
+                keep = ~np.isin(doc_ids, tomb)
+                doc_ids, contrib, terms_rep = \
+                    doc_ids[keep], contrib[keep], terms_rep[keep]
+        if filters and doc_ids.size:
+            allowed = self._driver_filter_docs(filters, intervals, G)
+            if allowed is None:
+                return None
+            keep = np.isin(doc_ids, allowed)
+            doc_ids, contrib, terms_rep = \
+                doc_ids[keep], contrib[keep], terms_rep[keep]
+        if doc_ids.size == 0:
+            return float("-inf")
+        order = np.lexsort((terms_rep, doc_ids))
+        d_s, c_s = doc_ids[order], contrib[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        scores = np.add.reduceat(c_s, starts)
+        if scores.size < k:
+            return float("-inf")
+        top = np.lexsort((d_s[starts], -scores))
+        return float(scores[top[k - 1]])
+
+    def _driver_filter_docs(self, filters, intervals, G: int):
+        """doc_ids inside the seed intervals passing the unscored
+        filters — a pyarrow read of the docs metadata columns (docs
+        files are doc_id-monotone, so the range predicate prunes row
+        groups).  Session time zone is UTC (the repo contract), so
+        naive timestamp comparison matches the Spark predicate."""
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        ov = None
+        for lo, hi in intervals:
+            p = ((pads.field("doc_id") >= lo * G)
+                 & (pads.field("doc_id") <= (hi + 1) * G - 1))
+            ov = p if ov is None else (ov | p)
+        try:
+            tbl = pads.dataset(
+                os.path.join(self.index_dir, "docs")).to_table(
+                filter=ov, columns=["doc_id", "role", "tool", "ts"])
+        except Exception:
+            return None
+        dpdf = tbl.to_pandas()
+        m = np.ones(len(dpdf), dtype=bool)
+        if "role" in filters:
+            m &= (dpdf["role"] == filters["role"]).to_numpy()
+        if "tool" in filters:
+            m &= (dpdf["tool"] == filters["tool"]).to_numpy()
+        if "ts_min" in filters or "ts_max" in filters:
+            ts = pd.to_datetime(dpdf["ts"])
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+
+            def naive_utc(v):
+                t = pd.Timestamp(v)
+                return t.tz_convert("UTC").tz_localize(None) \
+                    if t.tzinfo is not None else t
+
+            if "ts_min" in filters:
+                m &= (ts >= naive_utc(filters["ts_min"])).to_numpy()
+            if "ts_max" in filters:
+                m &= (ts <= naive_utc(filters["ts_max"])).to_numpy()
+        return dpdf["doc_id"].to_numpy()[m]
+
+    def _pruned_scored_dynamic(self, postings_sel, idf: dict[str, float],
+                               filters, k: int, seed_chunks: int,
+                               G: int):
         """Block-range-refined block-max pruning (the BMW analogue).
 
         Bounds are computed at *pseudo-chunk* granularity ``G``
@@ -361,28 +696,21 @@ class FTSIndex:
 
         1. seed pass — top ``seed_chunks`` pseudo-chunks by bound
            (broadcast subplan, no extra round-trip) are decoded and
-           scored, then restricted to docs whose OWN pseudo-chunk
-           ``doc_id // G`` is a seed; its top-k sets θ.  A doc whose
-           own pc is a seed has, per term, its single t-block
-           overlapping that pc, so every block containing it was
-           decoded and its score is FULL — θ is the kth of a subset of
-           true scores, hence ≤ the true kth score (admissible).  Docs
-           outside seed pcs whose blocks merely straddle a seed pc are
-           dropped, never scored partially: with negative idf (df > N
-           after mass deletes) a partial score can EXCEED the full one
-           (an omitted term's contribution is negative), which would
-           inflate θ and prune a true top-k doc.
+           scored; its top-k sets θ.
         2. rest pass — blocks overlapping any surviving pseudo-chunk
-           (bound ≥ θ, non-seed) are decoded, restricted the same way
-           to docs whose own pc survives (full scores again).  Docs in
-           pruned pseudo-chunks score ≤ bound < θ ≤ true kth score and
-           cannot displace the top-k.  Seed and surviving pc sets are
-           disjoint, every retained score is full, so the final merge
-           is a plain union — no per-doc max-dedup shuffle.
+           (bound ≥ θ, non-seed) are decoded and merged with the seed
+           scores.  Docs in pruned pseudo-chunks score ≤ bound < θ ≤
+           true kth score and cannot displace the top-k.
+
+        Admissibility regimes (same split as the sidecar path — see
+        ``_pruned_scored_sidecar``): with all idf ≥ 0 a straddling
+        doc's partial score is ≤ its full score, so the θ pool keeps
+        straddle docs and the merge max-dedups per doc; with any
+        negative idf both passes restrict to docs whose own pc they
+        cover (full scores only, disjoint plain union).
         """
         from pyspark.sql import functions as F
 
-        G = granularity or max(64, self.chunk_size // 32)
         idf_expr = F.create_map(
             *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))])
         # Admissibility under incremental updates: stored max_tfnorm was
@@ -416,9 +744,11 @@ class FTSIndex:
         seed_blocks = (exploded
                        .join(F.broadcast(seed_sel), "pc", "left_semi")
                        .dropDuplicates(block_key).drop("pc"))
+        strict = any(v < 0 for v in idf.values())
+
         def _own_pc(scored, pcs):
             """Restrict to docs whose own pseudo-chunk is in ``pcs`` —
-            exactly the docs the pass scored FULLY (see docstring)."""
+            exactly the docs the pass scored FULLY (strict regime)."""
             return (scored
                     .withColumn("pc", (F.col("doc_id") / G).cast("long"))
                     .join(F.broadcast(pcs), "pc", "left_semi")
@@ -431,25 +761,30 @@ class FTSIndex:
         prev = getattr(self, "_seed_cache", None)
         if prev is not None:
             prev.unpersist(False)
-        seed_scored = _own_pc(
-            self._score(seed_blocks, idf, filters), seed_sel).persist()
+        seed_scored = self._score(seed_blocks, idf, filters)
+        if strict:
+            seed_scored = _own_pc(seed_scored, seed_sel)
+        seed_scored = seed_scored.persist()
         self._seed_cache = seed_scored
         seed_topk = (seed_scored
                      .orderBy(F.desc("score"), F.asc("doc_id"))
                      .limit(k).collect())                  # action 1
         theta = float(seed_topk[-1]["score"]) \
-            if len(seed_topk) >= k else 0.0
+            if len(seed_topk) >= k else float("-inf")
         surviving = (bounds.join(seed_sel, "pc", "left_anti")
                      .filter(F.col("bound") >= F.lit(theta))
                      .select("pc"))
         rest_blocks = (exploded
                        .join(F.broadcast(surviving), "pc", "left_semi")
                        .dropDuplicates(block_key).drop("pc"))
-        rest_scored = _own_pc(
-            self._score(rest_blocks, idf, filters), surviving)
-        # seed and surviving pc sets are disjoint and each side carries
-        # only full scores, one row per doc — plain union, no dedup
-        return seed_scored.unionByName(rest_scored)
+        rest_scored = self._score(rest_blocks, idf, filters)
+        if strict:
+            # each side carries only full scores of disjoint pc sets —
+            # plain union, no dedup
+            rest_scored = _own_pc(rest_scored, surviving)
+            return seed_scored.unionByName(rest_scored)
+        return (seed_scored.unionByName(rest_scored)
+                .groupBy("doc_id").agg(F.max("score").alias("score")))
 
     def search_conversations(self, query_text: str, k: int = 10,
                              agg: str = "max",

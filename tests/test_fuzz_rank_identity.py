@@ -48,11 +48,22 @@ def _random_queries(n: int, seed: int = 7):
 def test_fuzz_rank_identity(built_index, oracle_index, q):
     expected = oracle_index.search(
         q["text"], k=q["k"], predicate=filters_predicate(q["filters"]))
-    for method in ("exhaustive", "pruned"):
-        got = [(int(r["doc_id"]), float(r["score"])) for r in
-               built_index.search(q["text"], k=q["k"],
-                                  filters=q["filters"],
-                                  method=method).collect()]
+    # "pruned+forced" drives the seed/rest machinery through the
+    # prunability gate even on this small corpus (the gate would
+    # otherwise route to the single exhaustive action)
+    for method in ("exhaustive", "pruned", "pruned+forced"):
+        forced = method == "pruned+forced"
+        if forced:
+            built_index.PRUNE_MIN_FRACTION = -1.0
+        try:
+            got = [(int(r["doc_id"]), float(r["score"])) for r in
+                   built_index.search(q["text"], k=q["k"],
+                                      filters=q["filters"],
+                                      method=method.split("+")[0])
+                   .collect()]
+        finally:
+            if forced:
+                del built_index.PRUNE_MIN_FRACTION
         assert [d for d, _ in got] == [d for d, _ in expected], \
             (method, q)
         for (_, gs), (_, es) in zip(got, expected):

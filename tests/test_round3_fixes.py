@@ -95,12 +95,18 @@ class TestPrunedThetaMultiPc:
                       batch_id="mass_delete")
         return FTSIndex(spark, idx_dir)
 
-    def _pruned_topk(self, idx, q, k, seed_chunks):
+    def _pruned_topk(self, idx, q, k, seed_chunks, dynamic=False):
         terms = idx.query_terms(q)
         idf = idx.idf_map(terms)
         matched = [t for t in terms if t in idf]
-        scored = idx._pruned_scored(idx._postings_for(matched), idf,
-                                    None, k, seed_chunks=seed_chunks)
+        postings = idx._postings_for(matched)
+        if dynamic:
+            scored = idx._pruned_scored_dynamic(
+                postings, idf, None, k, seed_chunks,
+                max(64, idx.chunk_size // 32))
+        else:
+            scored = idx._pruned_scored(postings, idf, None, k,
+                                        seed_chunks=seed_chunks)
         return [(int(r["doc_id"]), round(float(r["score"]), 10))
                 for r in scored.orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k).collect()]
@@ -122,15 +128,36 @@ class TestPrunedThetaMultiPc:
         # the scenario is sharp: the true #2 is doc 30, which the
         # inflated partial score of doc 64 used to displace
         assert [d for d, _ in want] == [5, 30]
-        got = self._pruned_topk(idx, "bravo alpha", 2, seed_chunks=1)
-        assert got == want
+        for dynamic in (False, True):
+            got = self._pruned_topk(idx, "bravo alpha", 2,
+                                    seed_chunks=1, dynamic=dynamic)
+            assert got == want, f"dynamic={dynamic}"
 
     def test_pruned_rank_identical_across_k_and_seeds(self, idx):
         for q in ("bravo alpha", "alpha", "bravo filler alpha"):
             for k in (1, 2, 3, 5):
                 for seeds in (1, 2):
-                    assert self._pruned_topk(idx, q, k, seeds) == \
-                        self._exhaustive_topk(idx, q, k), (q, k, seeds)
+                    for dyn in (False, True):
+                        assert self._pruned_topk(
+                            idx, q, k, seeds, dynamic=dyn) == \
+                            self._exhaustive_topk(idx, q, k), \
+                            (q, k, seeds, dyn)
+
+    def test_sidecar_engaged_and_fallback(self, idx, spark):
+        import shutil
+
+        # sidecar present on a fresh build (plus the delta segment's)
+        assert idx._pc_bounds_pdf(["bravo"]) is not None
+        # removing it falls back to the dynamic path transparently
+        side = os.path.join(idx.index_dir, "pc_bounds")
+        backup = side + ".bak"
+        shutil.move(side, backup)
+        try:
+            assert idx._pc_bounds_pdf(["bravo"]) is None
+            want = self._exhaustive_topk(idx, "bravo alpha", 2)
+            assert self._pruned_topk(idx, "bravo alpha", 2, 1) == want
+        finally:
+            shutil.move(backup, side)
 
 
 class TestAtomicGenerationSwap:
@@ -206,6 +233,33 @@ class TestBatchIdTokens:
     def test_empty_batch_id_rejected(self):
         with pytest.raises(ValueError):
             _fs_token("")
+
+
+class TestFreshBuildIntoDirtyDir:
+    def test_second_nonresume_build_starts_clean(self, spark, tmp_path):
+        """A fresh build into a dir holding an older index must not
+        inherit its manifest (stale 'done' marks skipped staging and
+        committed an empty corpus) nor its tombstones/segments."""
+        idx_dir = str(tmp_path / "dirty")
+        rows1 = [(f"conv-{i:04d}", 0, f"first corpus {i}")
+                 for i in range(30)]
+        build_index(spark, _transcripts(spark, rows1), idx_dir,
+                    n_buckets=2)
+        apply_updates(spark, idx_dir,
+                      deletes=_transcripts(
+                          spark, [("conv-0001", 0, "")])
+                      .select("conv_id", "turn_idx"),
+                      batch_id="stale_del")
+        rows2 = [(f"conv-{i:04d}", 0, f"second corpus {i}")
+                 for i in range(20)]
+        res = build_index(spark, _transcripts(spark, rows2), idx_dir,
+                          n_buckets=2)
+        assert res["n_docs"] == 20
+        idx = FTSIndex(spark, idx_dir)
+        assert idx.n_docs == 20
+        assert idx.tombstones is None          # old tombstones wiped
+        assert idx.search("second", k=5).count() > 0
+        assert idx.search("first", k=5).count() == 0
 
 
 class TestLshPersistDiscipline:
