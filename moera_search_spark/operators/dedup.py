@@ -74,11 +74,13 @@ DEDUP_EXACT_SQL = r"""
 """
 
 
-def _bigrams(spark, sf_dir):
-    """Word 2-gram (shingle) set per doc, as pure array algebra inside
-    whole-stage codegen: adjacent-pair shingling is a ``transform``
-    over the token array with index lookback — no token self-join, no
-    extra shuffle (the DuckDB oracle enumerates the same set)."""
+def _doc_shingles(spark, sf_dir):
+    """Word 2-gram (shingle) SET per doc as one ARRAY column — pure
+    array algebra inside whole-stage codegen: adjacent-pair shingling
+    is a ``transform`` over the token array with index lookback and
+    the set semantics come from row-local ``array_distinct`` — no
+    token self-join, no global distinct shuffle (round 2 paid a full
+    shuffle of every (doc, shingle) row for the same set)."""
     from pyspark.sql import functions as F
 
     d = _docs(spark, sf_dir)
@@ -86,12 +88,20 @@ def _bigrams(spark, sf_dir):
         "doc_id",
         F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
                  lambda t: t != "").alias("arr"))
-    return (with_arr.select(
+    return with_arr.select(
         "doc_id",
-        F.explode(F.expr(
+        F.array_distinct(F.expr(
             "transform(slice(arr, 1, greatest(size(arr) - 1, 0)),"
-            " (x, i) -> x || ' ' || arr[i + 1])")).alias("shingle"))
-        .distinct())
+            " (x, i) -> x || ' ' || arr[i + 1])")).alias("sh_arr"))
+
+
+def _bigrams(spark, sf_dir):
+    """(doc_id, shingle) rows — distinct by construction (exploded
+    from the per-doc set array)."""
+    from pyspark.sql import functions as F
+
+    return _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh_arr").alias("shingle"))
 
 
 _BIGRAMS_SQL = """
@@ -180,19 +190,26 @@ def minhash_signatures(spark, sf_dir, n_hashes: int = N_HASHES):
     """MinHash signature per doc: h_i(x) = (a_i·x + b_i) mod M over the
     md5-derived shingle hashes; min per permutation.
 
-    Expressed as explode → groupBy(doc).agg(min per perm) — partial
-    (map-side) min combine means the shuffle carries one row per doc,
-    not one per shingle."""
+    Entirely ROW-LOCAL since round 3: the shingle set is an array
+    column, so each permutation's min is ``array_min(transform(...))``
+    on the row — no shingle explode, no groupBy shuffle at all (round
+    2 shuffled one row per doc after a map-side min combine; now the
+    signature never leaves the scan stage).  Docs with no shingles
+    have no signature (they had no rows under the old groupBy)."""
     from pyspark.sql import functions as F
 
-    sh = _bigrams(spark, sf_dir).withColumn(
-        "h", _shingle_hash_col(F, F.col("shingle")))
-    aggs = [
-        F.min((F.col("h") * _PERM_A[i] + _PERM_B[i]) % _MERSENNE)
-        .alias(f"mh{i}")
+    ds = _doc_shingles(spark, sf_dir).filter(F.size("sh_arr") > 0)
+    hashed = ds.select(
+        "doc_id",
+        F.expr("transform(sh_arr, s -> cast(conv(substring(md5(s), 1, "
+               "12), 16, 10) AS bigint))").alias("harr"))
+    mins = [
+        F.array_min(F.expr(
+            f"transform(harr, h -> (h * {_PERM_A[i]} + {_PERM_B[i]}) "
+            f"% {_MERSENNE})")).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", *mins)
 
 
 # One persisted generation per session for dedup_minhash_lsh (the
@@ -271,26 +288,24 @@ def dedup_minhash_lsh(spark, sf_dir):
     _LSH_PERSIST_CACHE.append(cand)
     cand_join = F.broadcast(cand) if n_cand <= CAND_BROADCAST_MAX \
         else cand
-    # persisted: the shingle set feeds three consumers below (sizes +
-    # both sides of the intersection join)
-    sh = _bigrams(spark, sf_dir).persist()
-    _LSH_PERSIST_CACHE.append(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sh_a = sh.select(F.col("doc_id").alias("cand_a"),
-                     F.col("shingle").alias("s"))
-    sh_b = sh.select(F.col("doc_id").alias("cand_b"),
-                     F.col("shingle").alias("s"))
-    inter = (cand_join.join(sh_a, "cand_a")
-             .join(sh_b, ["cand_b", "s"])
-             .groupBy("cand_a", "cand_b")
-             .agg(F.count("*").alias("inter")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # Exact-Jaccard verify over the per-doc shingle SET ARRAYS: two
+    # joins attach each side's array to the pair row, then |∩| is a
+    # row-local ``array_intersect`` — no shingle explode, no per-pair
+    # groupBy (round 2 joined exploded shingle rows and re-aggregated;
+    # the per-pair intersection work is the same, the shuffles are
+    # gone).  ds is persisted so both joins read one materialization.
+    ds = (_doc_shingles(spark, sf_dir)
+          .filter(F.size("sh_arr") > 0).persist())
+    _LSH_PERSIST_CACHE.append(ds)
+    pairs = (cand_join
+             .join(ds.select(F.col("doc_id").alias("cand_a"),
+                             F.col("sh_arr").alias("sh_a")), "cand_a")
+             .join(ds.select(F.col("doc_id").alias("cand_b"),
+                             F.col("sh_arr").alias("sh_b")), "cand_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        inter.join(sa, F.col("cand_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("cand_b") == F.col("sb.doc_id"))
-        .withColumn("jaccard", F.col("inter")
-                    / (F.col("sa.n") + F.col("sb.n") - F.col("inter")))
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select(F.col("cand_a").alias("id_a"),
                 F.col("cand_b").alias("id_b"),
