@@ -86,6 +86,22 @@ N_TERM_BUCKETS = 16
 # below file granularity at these sizes).
 POSTINGS_FILES_PER_BUCKET = 8
 
+# Staging directory-count cap.  Staging is checkpointed per BUCKET but
+# laid out on disk per SHARD (a contiguous range of per_shard =
+# ceil(n_buckets / MAX_STAGING_SHARDS) buckets): a 2^18-bucket build
+# partitioned by bucket would create n_buckets × row_types ≈ 786k
+# partition directories/files, and both the write commit and the
+# read-side partition discovery are driver-side O(#dirs) — measured as
+# a >60 min staging commit at 2^18 on this box vs ~1 min at 2^14.
+# Sharding caps the directory count independently of bucket count
+# (the same fix the postings layout applies via
+# POSTINGS_FILES_PER_BUCKET); the bucket column stays physical in the
+# files, rows are bucket-sorted so row-group min-max prunes within a
+# shard, and resume granularity rounds up from bucket to shard (a
+# shard is re-staged whole so dynamic partition overwrite replaces
+# exactly the rows being recomputed).
+MAX_STAGING_SHARDS = 4096
+
 
 def term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
     """Stable term → directory shard (same fn at build and query time)."""
@@ -418,9 +434,20 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     bucket_col = _bucket_udf(boundaries)(F.col("conv_id"))
 
     # ---- stage 1: per-bucket staging (docs numbering + tokenize/tf) ----
+    # Disk layout is per SHARD (see MAX_STAGING_SHARDS); checkpoint
+    # marks stay per bucket, but the pending set and job groups round
+    # up to whole shards so a dynamic partition overwrite of a shard
+    # directory always rewrites every bucket stored in it.
+    per_shard = -(-n_buckets // min(n_buckets, MAX_STAGING_SHARDS))
     done = mf.done_partitions(index_dir, "staging")
     pending = [bkt for bkt in range(n_buckets) if bkt not in done]
+    if per_shard > 1 and pending:
+        shards = sorted({bkt // per_shard for bkt in pending})
+        pending = [bkt for s in shards
+                   for bkt in range(s * per_shard,
+                                    min((s + 1) * per_shard, n_buckets))]
     group_size = buckets_per_job or max(1, len(pending))
+    group_size = max(per_shard, -(-group_size // per_shard) * per_shard)
     groups = [pending[i:i + group_size]
               for i in range(0, len(pending), group_size)]
     for gi, group in enumerate(groups):
@@ -435,37 +462,51 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         # several buckets share one task instead of paying per-task
         # scheduling for 238-doc partitions.  On a real cluster the cap
         # is executor-count-scaled via defaultParallelism.
-        n_parts = min(max(len(group), 1),
+        group_shards = sorted({bkt // per_shard for bkt in group})
+        n_parts = min(max(len(group_shards), 1),
                       max(64, shuffle_partitions * 8))
-        sub = transcripts.withColumn("bucket", bucket_col)
+        shard_col = F.expr(f"cast(bucket div {per_shard} as int)")
+        sub = transcripts.withColumn("bucket", bucket_col) \
+            .withColumn("shard", shard_col)
         if len(group) < n_buckets:
             # resume case only — a fresh full build stages every bucket
             # and skips the IN-list (16k literals would bloat the plan)
-            sub = sub.filter(F.col("bucket").isin([int(x) for x in group]))
-        sub = (sub.repartition(n_parts, "bucket")
+            sub = sub.filter(
+                F.col("shard").isin([int(s) for s in group_shards]))
+        # partition on shard (shard ⊇ bucket, so a bucket still never
+        # splits across tasks) → each shard directory is written by
+        # exactly one task: total staging files = n_shards × row_types
+        # regardless of bucket count or build parallelism
+        sub = (sub.repartition(n_parts, "shard")
                .sortWithinPartitions("bucket", "conv_id", "turn_idx"))
-        staged = sub.mapInPandas(_staging_iter(mode), STAGING_SCHEMA_DDL)
-        # Partitioned by (bucket, row_type): later stages read doc / tf
-        # rows via directory pruning, and the per-bucket 'bstat' summary
+        staged = sub.mapInPandas(_staging_iter(mode), STAGING_SCHEMA_DDL) \
+            .withColumn("shard", shard_col)
+        # Partitioned by (shard, row_type): later stages read doc / tf
+        # rows via directory pruning on row_type, per-bucket reads
+        # prune shard dirs then push the bucket predicate into the
+        # bucket-sorted row groups, and the per-bucket 'bstat' summary
         # rows (exact doc/tf/dl totals, emitted by the staging tasks
         # themselves) come back without scanning any data.  A fresh
         # full build commits in static mode (one whole-directory
         # commit); per-partition dynamic overwrite is only needed when
-        # re-staging a subset of buckets on resume.
+        # re-staging a subset of shards on resume.
         fresh_full = len(groups) == 1 and not done
         writer = staged.write.mode("overwrite") \
-            .partitionBy("bucket", "row_type")
+            .partitionBy("shard", "row_type")
         if fresh_full:
             writer = writer.option("partitionOverwriteMode", "static")
         writer.parquet(staging_path)
         import json as _json
 
-        stat_rows = (
-            spark.read.parquet(staging_path)
-            .filter(F.col("row_type") == "bstat")
-            .filter(F.col("bucket").isin([int(x) for x in group]))
-            .select("bucket", "text").collect()
-        )
+        bstat_df = (spark.read.parquet(staging_path)
+                    .filter(F.col("row_type") == "bstat"))
+        if len(group) < n_buckets:
+            # shard dirs pruned first, then the bucket IN-list (small:
+            # a resumed group, never the full 2^18) on the data column
+            bstat_df = bstat_df.filter(
+                F.col("shard").isin([int(s) for s in group_shards])
+            ).filter(F.col("bucket").isin([int(x) for x in group]))
+        stat_rows = bstat_df.select("bucket", "text").collect()
         rows_in = {int(x): 0 for x in group}
         terms_out = {int(x): 0 for x in group}
         dl_sums = {int(x): 0 for x in group}
@@ -537,10 +578,11 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
 
     def _job_docs():
         # Map-only write (the offsets broadcast join is shuffle-free):
-        # staging is bucket-partitioned and sorted by (conv_id,
-        # turn_idx), so doc_id = offset + local_idx is already monotone
-        # within every output file — file-level min-max on doc_id stays
-        # disjoint across buckets with zero shuffle.
+        # staging is shard-partitioned and sorted by (bucket, conv_id,
+        # turn_idx) with cumulative per-bucket offsets, so doc_id =
+        # offset + local_idx is already monotone within every output
+        # file — file-level min-max on doc_id stays disjoint with zero
+        # shuffle.
         (with_doc_id(doc_rows)
          .select(doc_id_col, "conv_id", "turn_idx", "role", "tool",
                  "ts", "dl", "text")

@@ -94,4 +94,69 @@ class TestResume:
         cfg = mf.load_config(clean_dir)
         assert cfg["mode"] == "english"
         assert len(cfg["boundaries"]) == cfg["n_buckets"]
-        assert glob.glob(os.path.join(clean_dir, "staging", "bucket=*"))
+        assert glob.glob(os.path.join(clean_dir, "staging", "shard=*"))
+
+
+class TestShardedStaging:
+    """Staging dirs are capped at MAX_STAGING_SHARDS with per-bucket
+    checkpointing rounded up to whole shards (per_shard > 1 path —
+    the layout an over-bucketed 2^18 build uses)."""
+
+    @pytest.fixture(scope="class")
+    def sharded_builds(self, spark, corpus_df, tmp_path_factory,
+                       request):
+        import moera_search_spark.build as b
+
+        base = tmp_path_factory.mktemp("sharded")
+        clean_dir = str(base / "clean")
+        crash_dir = str(base / "crash")
+        # 16 buckets / cap 4 → per_shard = 4, 4 shard dirs
+        orig = b.MAX_STAGING_SHARDS
+        b.MAX_STAGING_SHARDS = 4
+        request.addfinalizer(
+            lambda: setattr(b, "MAX_STAGING_SHARDS", orig))
+        build_index(spark, corpus_df, clean_dir, n_buckets=16)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            # buckets_per_job=3 rounds up to one shard (4 buckets)
+            build_index(spark, corpus_df, crash_dir, n_buckets=16,
+                        buckets_per_job=3, fail_after_groups=2)
+        build_index(spark, corpus_df, crash_dir, n_buckets=16,
+                    buckets_per_job=3, resume=True)
+        return clean_dir, crash_dir
+
+    def test_dir_count_capped(self, sharded_builds):
+        clean_dir, _ = sharded_builds
+        shards = glob.glob(os.path.join(clean_dir, "staging", "shard=*"))
+        assert len(shards) == 4
+        assert not glob.glob(
+            os.path.join(clean_dir, "staging", "bucket=*"))
+
+    def test_groups_are_shard_aligned(self, sharded_builds):
+        _, crash_dir = sharded_builds
+        m = mf.load_manifest(crash_dir)
+        staging = m[(m["stage"] == "staging") & (m["status"] == "done")]
+        done = sorted(int(p) for p in staging["partition_id"])
+        assert done == list(range(16))  # every bucket completed
+        # the crashed run finished exactly 2 whole-shard groups before
+        # the simulated crash (buckets_per_job=3 → rounded to 4)
+        attempts = {int(r["partition_id"]): int(r["attempt"])
+                    for _, r in staging.iterrows()}
+        assert all(attempts[bkt] == 1 for bkt in range(8))
+        assert all(attempts[bkt] >= 1 for bkt in range(8, 16))
+
+    def test_resume_byte_identical(self, spark, sharded_builds):
+        clean_dir, crash_dir = sharded_builds
+        p1, d1 = _index_fingerprint(spark, clean_dir)
+        p2, d2 = _index_fingerprint(spark, crash_dir)
+        pd.testing.assert_frame_equal(d1, d2)
+        pd.testing.assert_frame_equal(p1, p2)
+
+    def test_bucket_column_physical_and_sorted(self, spark,
+                                               sharded_builds):
+        clean_dir, _ = sharded_builds
+        one = glob.glob(os.path.join(
+            clean_dir, "staging", "shard=*", "row_type=doc", "*.parquet"))
+        assert one
+        pdf = pd.read_parquet(one[0])
+        assert "bucket" in pdf.columns
+        assert (pdf["bucket"].values[:-1] <= pdf["bucket"].values[1:]).all()
