@@ -235,6 +235,74 @@ def multimodal_decode_features_hashable(spark, sf_dir):
             ",").alias("features_e6"))
 
 
+# Full SQL oracle for the decode→features pipeline.  The BMP
+# encode→decode round trip is pixel-lossless (24-bit BI_RGB), so the
+# feature vector is a pure function of doc_id: the oracle regenerates
+# ``synth_image``'s pixel grid relationally (documents × range(w) ×
+# range(h)) and recomputes the same statistics — global RGB means, the
+# four 2×2 block-mean quadrant luminances (``thumbnail``'s
+# linspace(0,h,3).astype(int) boundaries reduce to floor(h/2) /
+# floor(w/2)), and aspect — entirely in SQL.  This independently
+# verifies the Spark decode end-to-end: any header/stride/row-flip/
+# BGR-order bug in ``decode_bmp`` shifts pixel values and breaks every
+# feature hash.  All means are exact-integer sums / counts in float64,
+# and the luminance dot product is written in numpy's accumulation
+# order, so the doubles agree bit-for-bit before e6 rounding.
+MULTIMODAL_DECODE_FEATURES_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         8 + (d.doc_id % 9) AS w,
+         8 + ((d.doc_id * 3) % 9) AS h,
+         x.range AS x, y.range AS y,
+         (d.doc_id * 7 + x.range * 13 + y.range * 31) % 256 AS r,
+         (d.doc_id * 11 + x.range * 3 + y.range * 17) % 256 AS g,
+         (d.doc_id * 5 + x.range * 29 + y.range * 7) % 256 AS b
+  FROM documents d
+  CROSS JOIN range(0, 17) x
+  CROSS JOIN range(0, 17) y
+  WHERE x.range < 8 + (d.doc_id % 9)
+    AND y.range < 8 + ((d.doc_id * 3) % 9)
+),
+gstats AS (
+  SELECT doc_id,
+         avg(r) / 255.0 AS mr, avg(g) / 255.0 AS mg, avg(b) / 255.0 AS mb,
+         max(w) * 1.0 / max(h) AS aspect
+  FROM px GROUP BY doc_id
+),
+quad AS (
+  SELECT doc_id,
+         2 * (CASE WHEN y >= h // 2 THEN 1 ELSE 0 END)
+           + (CASE WHEN x >= w // 2 THEN 1 ELSE 0 END) AS q,
+         ((avg(r) / 255.0) * 0.299 + (avg(g) / 255.0) * 0.587)
+           + (avg(b) / 255.0) * 0.114 AS lum
+  FROM px
+  GROUP BY doc_id,
+         2 * (CASE WHEN y >= h // 2 THEN 1 ELSE 0 END)
+           + (CASE WHEN x >= w // 2 THEN 1 ELSE 0 END)
+),
+quadw AS (
+  SELECT doc_id,
+         max(CASE WHEN q = 0 THEN lum END) AS l0,
+         max(CASE WHEN q = 1 THEN lum END) AS l1,
+         max(CASE WHEN q = 2 THEN lum END) AS l2,
+         max(CASE WHEN q = 3 THEN lum END) AS l3
+  FROM quad GROUP BY doc_id
+)
+SELECT g.doc_id,
+       concat_ws(',',
+         CAST(CAST(round(mr * 1000000.0) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(mg * 1000000.0) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(mb * 1000000.0) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(l0 * 1000000.0) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(l1 * 1000000.0) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(l2 * 1000000.0) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(l3 * 1000000.0) AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(aspect * 1000000.0) AS BIGINT) AS VARCHAR)
+       ) AS features_e6
+FROM gstats g JOIN quadw USING (doc_id)
+"""
+
+
 # ------------------------------------------------ video: frame sampling
 
 def encode_video(frames: list) -> bytes:
@@ -368,11 +436,14 @@ def audio_window_features(spark, sf_dir):
 QUERIES = {
     "multimodal_binary_stats":
         (multimodal_binary_stats, MULTIMODAL_BINARY_STATS_SQL),
-    # decode path has no SQL equivalent (binary image decode): rows-only
-    # check by the driver; the full decode→thumbnail→features pipeline
-    # is value-verified in tests against an independent python decoder.
     # The catalog registers the hashable-schema twin (e6 string) so the
-    # harness can canonicalize the rows (VERDICT round 2 item 1).
+    # harness can canonicalize the rows (VERDICT round 2 item 1), and a
+    # FULL SQL oracle: encode→decode is pixel-lossless, so the features
+    # are a pure function of doc_id that the oracle recomputes
+    # relationally (see MULTIMODAL_DECODE_FEATURES_SQL).  The raw
+    # array<double> variant is additionally value-verified in pytest
+    # against an independent python decoder.
     "multimodal_decode_features":
-        (multimodal_decode_features_hashable, None),
+        (multimodal_decode_features_hashable,
+         MULTIMODAL_DECODE_FEATURES_SQL),
 }

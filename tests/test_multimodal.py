@@ -200,3 +200,35 @@ class TestAudioDecode:
         # computation up to PCM16 quantization
         want = audio_features(np.clip(synth_audio(some), -1, 1))
         assert np.allclose(by_id[some], want, atol=1e-4)
+
+
+class TestDecodeFeaturesSqlOracle:
+    """The catalog's full SQL oracle for ``multimodal_decode_features``
+    (MULTIMODAL_DECODE_FEATURES_SQL) must agree with the real decode
+    pipeline: run the oracle in DuckDB over the documents table and the
+    python encode→decode→features pipeline per doc_id, compare the
+    e6-rounded strings exactly.  No Spark needed — this pins the oracle
+    itself, so a future change to synth_image / thumbnail / features
+    cannot silently diverge from the SQL twin."""
+
+    def test_sql_oracle_matches_real_decode(self):
+        import duckdb
+
+        from moera_search_spark.operators.multimodal import (
+            MULTIMODAL_DECODE_FEATURES_SQL,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')")
+        got = dict(con.execute(MULTIMODAL_DECODE_FEATURES_SQL).fetchall())
+        ids = [r[0] for r in con.execute(
+            "SELECT doc_id FROM documents").fetchall()]
+        assert set(got) == set(ids) and len(got) == len(ids)
+        for doc_id in ids:
+            f = image_features(decode_bmp(encode_bmp(synth_image(doc_id))))
+            # HALF_UP at e6, matching Spark's F.round
+            want = ",".join(
+                str(int(np.floor(v * 1e6 + 0.5))) for v in f)
+            assert got[doc_id] == want, doc_id
