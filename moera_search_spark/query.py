@@ -813,6 +813,106 @@ class FTSIndex:
         return (per_conv.orderBy(F.desc("score"), F.asc("conv_id"))
                 .limit(k))
 
+    def search_many(self, query_texts: list[str], k: int = 10,
+                    filters: dict | None = None):
+        """Batched top-k BM25: Q queries answered by ONE Spark job that
+        shares a single postings scan + decode + per-doc pivot (the
+        serving shape for the reference query SET — Q sequential
+        ``search()`` calls pay Q× job scheduling and Q× postings scans;
+        at 10^12 docs the scan dominates, so batching approaches Q×
+        cheaper).  Returns (query_id, doc_id, score) where query_id is
+        the position in ``query_texts``; each query's rows are rank-
+        and bit-identical to ``search(..., method='exhaustive')`` with
+        the same shared ``filters``.
+
+        Plan shape: union-term postings scan (term_bucket dir pruning
+        over the union's buckets) → one vectorized decode →
+        ``_score``'s per-doc pivot over the union terms (map-side
+        partial agg) → per-PARTITION per-query top-k in one Arrow pass
+        — the kth-score cut happens before any per-query shuffle, so
+        no query funnels its full match set through one task (the
+        multi-query analogue of TakeOrderedAndProject's partial
+        top-k) → exact per-query top-k over the ≤ partitions·Q·k
+        survivors.  Per-query score folds run in the same sorted-term
+        left-to-right order as ``_score``, so doubles agree
+        bit-for-bit with the single-query path."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        per_q = [self.query_terms(q) for q in query_texts]
+        idf = self.idf_map(sorted({t for ts in per_q for t in ts}))
+        matched_q = [[t for t in ts if t in idf] for ts in per_q]
+        union_terms = sorted({t for ts in matched_q for t in ts})
+        empty = self.spark.createDataFrame(
+            [], "query_id int, doc_id long, score double")
+        if not union_terms:
+            return empty
+        decoded = self._postings_for(union_terms).mapInPandas(
+            _decode_score_iter({t: idf[t] for t in union_terms},
+                               self.avgdl, self.k1, self.b),
+            DECODED_SCHEMA)
+        aggs = [F.sum(F.when(F.col("term") == t, F.col("contrib")))
+                .alias(f"_c{i}") for i, t in enumerate(union_terms)]
+        per_doc = decoded.groupBy("doc_id").agg(*aggs)
+        tomb = self.tombstones
+        if tomb is not None:
+            per_doc = per_doc.join(tomb, "doc_id", "left_anti")
+        pred = self._filter_pred(filters)
+        if pred is not None:
+            allowed = self.docs.filter(pred).select("doc_id")
+            per_doc = per_doc.join(allowed, "doc_id", "left_semi")
+
+        col_idx = {t: i for i, t in enumerate(union_terms)}
+        q_cols = [[col_idx[t] for t in sorted(mq)] for mq in matched_q]
+        ncols = len(union_terms)
+
+        def part_topk(pdf_iter):
+            cand: list[list] = [[] for _ in q_cols]
+            for pdf in pdf_iter:
+                if len(pdf) == 0:
+                    continue
+                docs = pdf["doc_id"].values.astype(np.int64)
+                cols = pdf[[f"_c{i}" for i in range(ncols)]] \
+                    .to_numpy(dtype=np.float64)      # absent → NaN
+                for qi, idxs in enumerate(q_cols):
+                    if not idxs:
+                        continue
+                    sub = cols[:, idxs]
+                    hit = ~np.all(np.isnan(sub), axis=1)
+                    if not hit.any():
+                        continue
+                    # same fold as _score: 0.0 + coalesce(c, 0.0) in
+                    # sorted-term order — identical IEEE add sequence
+                    s = np.zeros(int(hit.sum()))
+                    for j in range(sub.shape[1]):
+                        s = s + np.nan_to_num(sub[hit, j], nan=0.0)
+                    d = docs[hit]
+                    top = np.lexsort((d, -s))[:k]
+                    cand[qi].append((d[top], s[top]))
+            out_q, out_d, out_s = [], [], []
+            for qi, parts in enumerate(cand):
+                if not parts:
+                    continue
+                d = np.concatenate([p[0] for p in parts])
+                s = np.concatenate([p[1] for p in parts])
+                top = np.lexsort((d, -s))[:k]
+                out_q.append(np.full(len(top), qi, dtype=np.int32))
+                out_d.append(d[top])
+                out_s.append(s[top])
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d),
+                    "score": np.concatenate(out_s)})
+
+        cand = per_doc.mapInPandas(
+            part_topk, "query_id int, doc_id long, score double")
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        return (cand.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k).drop("_rn")
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
     def match_count(self, query_text: str,
                     filters: dict | None = None) -> int:
         """Total-hits analogue (reference returns total with each page)."""

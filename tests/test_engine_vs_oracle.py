@@ -114,3 +114,47 @@ class TestQueryEdges:
         assert [c for c, _ in got] == [c for c, _ in exp]
         for (_, gs), (_, es) in zip(got, exp):
             assert gs == pytest.approx(es, abs=1e-9)
+
+
+class TestSearchMany:
+    """Batched multi-query execution: ONE job over the union terms must
+    be rank- AND bit-identical, per query, to sequential search()."""
+
+    def test_batched_matches_sequential(self, built_index):
+        texts = [q["query_text"] for q in QUERIES]
+        got = built_index.search_many(texts, k=10).collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), float(r["score"])))
+        for qi, text in enumerate(texts):
+            single = [(int(r["doc_id"]), float(r["score"])) for r in
+                      built_index.search(text, k=10,
+                                         method="exhaustive").collect()]
+            assert by_q.get(qi, []) == single, f"query {qi}: {text!r}"
+
+    def test_shared_filters(self, built_index):
+        texts = ["spark shuffle partition", "data table join"]
+        filters = {"role": "user"}
+        got = built_index.search_many(texts, k=5, filters=filters) \
+            .collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), float(r["score"])))
+        for qi, text in enumerate(texts):
+            single = [(int(r["doc_id"]), float(r["score"])) for r in
+                      built_index.search(text, k=5, filters=filters,
+                                         method="exhaustive").collect()]
+            assert by_q.get(qi, []) == single
+
+    def test_no_match_query_absent(self, built_index):
+        got = built_index.search_many(
+            ["spark shuffle partition", "zzzqqqxxyy nothing"],
+            k=5).collect()
+        qids = {int(r["query_id"]) for r in got}
+        assert 1 not in qids and 0 in qids
+
+    def test_all_unmatched_returns_empty(self, built_index):
+        assert built_index.search_many(["zzzqqqxxyy"], k=5) \
+            .count() == 0
