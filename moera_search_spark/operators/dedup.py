@@ -45,7 +45,10 @@ SHINGLE_DF_CAP = 100
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ._parallel import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _norm_text_col(F):

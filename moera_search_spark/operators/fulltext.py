@@ -66,7 +66,10 @@ def _startswith_lam(p):
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ._parallel import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _toks_arr(text_col="text"):

@@ -99,7 +99,10 @@ def image_features(img: np.ndarray) -> np.ndarray:
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ._parallel import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def binary_payloads(spark, sf_dir):

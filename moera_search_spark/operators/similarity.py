@@ -15,7 +15,10 @@ LSH_BITS = 8
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ._parallel import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), key="vec_id")
 
 
 def _with_norm(df):

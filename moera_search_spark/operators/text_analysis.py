@@ -22,7 +22,10 @@ LID_MARKERS = {
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ._parallel import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def text_doc_profile(spark, sf_dir):

@@ -325,3 +325,34 @@ class TestStreamingSeqPresence:
             stream_updates(spark, idx_dir, changelog,
                            checkpoint_dir=str(tmp_path / "mix_ckpt"),
                            n_buckets=2, timeout_sec=120)
+
+
+class TestEnsureParallelism:
+    """Small-input parallelization (_parallel.py): a one-file scan is
+    widened to the session's default parallelism so CPU-heavy
+    row-local pipelines use every core; an already-wide frame passes
+    through untouched (the no-op branch that makes the helper free at
+    data scale)."""
+
+    def test_narrow_scan_widened(self, spark, tmp_path):
+        from moera_search_spark.operators._parallel import (
+            ensure_parallelism,
+        )
+
+        p = str(tmp_path / "one_file")
+        spark.range(100).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        assert df.rdd.getNumPartitions() == 1
+        out = ensure_parallelism(df, key="id")
+        assert (out.rdd.getNumPartitions()
+                == spark.sparkContext.defaultParallelism)
+        assert sorted(r.id for r in out.collect()) == list(range(100))
+
+    def test_wide_frame_untouched(self, spark):
+        from moera_search_spark.operators._parallel import (
+            ensure_parallelism,
+        )
+
+        target = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).repartition(target + 4, "id")
+        assert ensure_parallelism(df, key="id") is df
