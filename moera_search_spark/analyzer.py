@@ -131,13 +131,23 @@ def detect_language(text: str | None) -> str:
 
 def _analyze_russian(text: str, stemmer: RussianMemoStemmer) -> list[str]:
     """Lucene russian chain: tokenize → lowercase → RU stop set →
-    Snowball russian stem (no possessive filter in that chain)."""
+    Snowball russian stem (no possessive filter in that chain).
+
+    Raw-token memo: the whole lowercase→stop→stem pipeline result is
+    cached per RAW token on the batch-scoped stemmer ("" = dropped),
+    so repeated surface forms cost one dict probe.
+    """
+    memo = stemmer.raw
     out: list[str] = []
     for raw in _TOKEN_RE.findall(text):
-        tok = raw.lower().replace("ё", "е")
-        if not tok or tok in RUSSIAN_STOPWORDS:
-            continue
-        out.append(stemmer(tok))
+        t = memo.get(raw)
+        if t is None:
+            tok = raw.lower().replace("ё", "е")
+            t = "" if (not tok or tok in RUSSIAN_STOPWORDS) \
+                else stemmer(tok)
+            memo[raw] = t
+        if t:
+            out.append(t)
     return out
 
 
@@ -160,12 +170,23 @@ def analyze(text: str | None, mode: str = "english",
     if mode != "english":
         raise ValueError(f"unknown analyzer mode: {mode}")
     stemmer = _stemmer if _stemmer is not None else MemoStemmer()
+    # Raw-token memo: lowercase→possessive→stop→stem is cached per RAW
+    # (pre-lowercase) token on the batch-scoped stemmer, "" marking a
+    # dropped token — one dict probe per repeated surface form instead
+    # of two regex passes plus two lookups.
+    memo = stemmer.raw
     out: list[str] = []
     for raw in _TOKEN_RE.findall(text):
-        tok = _POSSESSIVE_RE.sub("", raw.lower())
-        if not tok or tok in ENGLISH_STOPWORDS:
-            continue
-        out.append(stemmer(tok))
+        t = memo.get(raw)
+        if t is None:
+            tok = raw.lower()
+            if tok.endswith(("'s", "’s")):  # _POSSESSIVE_RE semantics
+                tok = tok[:-2]
+            t = "" if (not tok or tok in ENGLISH_STOPWORDS) \
+                else stemmer(tok)
+            memo[raw] = t
+        if t:
+            out.append(t)
     return out
 
 

@@ -187,12 +187,18 @@ def stem(word: str) -> str:
 
 
 class MemoStemmer:
-    """Memoizing wrapper — vocabulary is tiny relative to token stream."""
+    """Memoizing wrapper — vocabulary is tiny relative to token stream.
 
-    __slots__ = ("_cache",)
+    ``raw`` is a scratch cache the analyzer uses to memoize its full
+    raw-token→term pipeline (case folding, possessive, stop words) at
+    the same batch scope as the stem cache.
+    """
+
+    __slots__ = ("_cache", "raw")
 
     def __init__(self) -> None:
         self._cache: dict[str, str] = {}
+        self.raw: dict[str, str] = {}
 
     def __call__(self, word: str) -> str:
         s = self._cache.get(word)

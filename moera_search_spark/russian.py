@@ -167,6 +167,8 @@ class RussianMemoStemmer:
 
     def __init__(self) -> None:
         self._memo: dict[str, str] = {}
+        # analyzer's raw-token→term pipeline cache (see porter.MemoStemmer)
+        self.raw: dict[str, str] = {}
 
     def __call__(self, word: str) -> str:
         s = self._memo.get(word)
