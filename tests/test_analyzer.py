@@ -104,3 +104,66 @@ class TestHtmlAndHashtags:
 
     def test_hashtag_needs_letter(self):
         assert extract_hashtags("#123 #1a #_x") == ["#1a", "#_x"]
+
+
+class TestRawTokenMemo:
+    """The batch-scoped raw-token memo (analyzer.py analyze /
+    _analyze_russian) must be invisible: memoized output equals a
+    naive straight-line pipeline, for any unicode input and any
+    repetition pattern."""
+
+    @staticmethod
+    def _naive_english(text):
+        import re
+
+        from moera_search_spark.analyzer import (
+            _POSSESSIVE_RE,
+            _TOKEN_RE,
+        )
+        out = []
+        for raw in _TOKEN_RE.findall(text):
+            tok = _POSSESSIVE_RE.sub("", raw.lower())
+            if not tok or tok in ENGLISH_STOPWORDS:
+                continue
+            out.append(stem(tok) if len(tok) > 2 else tok)
+        return out
+
+    def test_property_memo_equals_naive(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from moera_search_spark.analyzer import make_stemmer
+
+        word = st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                categories=("L", "Nd", "Pd", "Po", "Zs")),
+            min_size=0, max_size=12)
+        texts = st.lists(word, min_size=0, max_size=30).map(" ".join)
+
+        @settings(max_examples=300, deadline=None)
+        @given(texts)
+        def check(text):
+            st_obj = make_stemmer("english")
+            # run twice through the SAME memo (exercise warm hits)
+            assert analyze(text, _stemmer=st_obj) == \
+                self._naive_english(text)
+            assert analyze(text, _stemmer=st_obj) == \
+                self._naive_english(text)
+
+        check()
+
+    def test_possessive_slice_matches_regex(self):
+        # endswith slice vs the documented ['’]s$ regex
+        for t in ["world's", "it's's", "JAMES’S", "s", "'s x", "a’s"]:
+            got = analyze(t)
+            exp = self._naive_english(t)
+            assert got == exp, (t, got, exp)
+
+    def test_russian_memo_repeat(self):
+        s = "Быстрые кошки и быстрые собаки бегут быстрые"
+        first = analyze(s, mode="russian")
+        again = analyze(s, mode="russian")
+        assert first == again
+        # repeated surface form maps to one stem, stopword 'и' dropped
+        assert first.count(first[0]) >= 2
