@@ -21,6 +21,9 @@ bucket/candidate group, which is the point of LSH banding.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 N_HASHES = 16
 N_BANDS = 8  # rows-per-band = 2
 _MERSENNE = (1 << 61) - 1
@@ -77,25 +80,103 @@ DEDUP_EXACT_SQL = r"""
 """
 
 
-def _doc_shingles(spark, sf_dir):
-    """Word 2-gram (shingle) SET per doc as one ARRAY column — pure
-    array algebra inside whole-stage codegen: adjacent-pair shingling
-    is a ``transform`` over the token array with index lookback and
-    the set semantics come from row-local ``array_distinct`` — no
-    token self-join, no global distinct shuffle (round 2 paid a full
-    shuffle of every (doc, shingle) row for the same set)."""
-    from pyspark.sql import functions as F
+def _shingle_minhash_iter(with_shingles: bool, with_sigs: bool,
+                          keep_empty: bool = False,
+                          n_hashes: int = N_HASHES):
+    """mapInPandas factory: (doc_id, text) → per-doc shingle set and/or
+    MinHash signature, fully vectorized per Arrow batch.
 
-    d = _docs(spark, sf_dir)
-    with_arr = d.select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
-                 lambda t: t != "").alias("arr"))
-    return with_arr.select(
-        "doc_id",
-        F.array_distinct(F.expr(
-            "transform(slice(arr, 1, greatest(size(arr) - 1, 0)),"
-            " (x, i) -> x || ' ' || arr[i + 1])")).alias("sh_arr"))
+    Why python and not Spark array expressions: the higher-order
+    functions this replaces (``transform``/``array_distinct``/
+    ``array_min`` chains) are evaluated INTERPRETED per element —
+    measured 10 s to materialize signatures+bands for 5k docs / 256k
+    shingles at sf0.1, vs ~0.5 s single-core for this path (regex
+    split and md5 are C loops; the 16 affine mins are numpy
+    ``minimum.reduceat`` over the batch-flattened hash array).  Still
+    row-local: no shuffle, no python round trip besides the one Arrow
+    batch transfer this operator already pays.
+
+    Exact-equality notes (the SQL oracle hashes results):
+    * shingle = adjacent pair of ``[a-z0-9]+`` runs of ``lower(text)``
+      — ``str.lower`` ≡ JVM/DuckDB ``lower`` on the corpus (ASCII;
+      non-ASCII case-folding never produces ``[a-z0-9]`` differences
+      for the simple mappings all three engines use);
+    * h = int(md5(utf8)[:12 hex], 16) ≡ ``conv(substring(md5(s),1,12),
+      16,10)`` — 48-bit, so h·a+b < 2^61+2^54 fits int64;
+    * (h·a+b) mod (2^61−1) via the Mersenne fold
+      ``(x & M) + (x >> 61)`` then one conditional subtract —
+      bit-identical to ``%`` for these ranges (property-tested).
+    """
+    import re as _re
+    from hashlib import md5 as _md5
+
+    split = _re.compile(r"[^a-z0-9]+")
+    A = [int(a) for a in _PERM_A[:n_hashes]]
+    B = [int(b) for b in _PERM_B[:n_hashes]]
+
+    def fn(pdf_iter):
+        for pdf in pdf_iter:
+            ids: list[int] = []
+            sh_col: list[list[str]] = []
+            h_chunks: list[np.ndarray] = []
+            lens: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"].values,
+                                    pdf["text"].values):
+                toks = ([t for t in split.split(text.lower()) if t]
+                        if isinstance(text, str) and text else [])
+                sh = list(dict.fromkeys(
+                    a + " " + b for a, b in zip(toks, toks[1:])))
+                if not sh and not keep_empty:
+                    continue
+                ids.append(int(doc_id))
+                if with_shingles:
+                    sh_col.append(sh)
+                if with_sigs:
+                    h_chunks.append(np.fromiter(
+                        (int(_md5(s.encode()).hexdigest()[:12], 16)
+                         for s in sh), dtype=np.int64, count=len(sh)))
+                    lens.append(len(sh))
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            if with_shingles:
+                out["sh_arr"] = pd.Series(sh_col, dtype="object")
+            if with_sigs:
+                if lens:
+                    vals = np.concatenate(h_chunks)
+                    starts = np.zeros(len(lens), dtype=np.intp)
+                    np.cumsum(lens[:-1], out=starts[1:])
+                    for i in range(n_hashes):
+                        x = vals * A[i]
+                        x += B[i]
+                        r = (x & _MERSENNE) + (x >> 61)
+                        r -= (r >= _MERSENNE) * _MERSENNE
+                        out[f"mh{i}"] = np.minimum.reduceat(r, starts)
+                else:
+                    for i in range(n_hashes):
+                        out[f"mh{i}"] = pd.Series([], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+_SHINGLES_SCHEMA = "doc_id long, sh_arr array<string>"
+_SIG_SCHEMA = "doc_id long, " + ", ".join(
+    f"mh{i} long" for i in range(N_HASHES))
+_SHINGLE_SIG_SCHEMA = ("doc_id long, sh_arr array<string>, "
+                       + ", ".join(f"mh{i} long"
+                                   for i in range(N_HASHES)))
+
+
+def _doc_shingles(spark, sf_dir):
+    """Word 2-gram (shingle) SET per doc as one ARRAY column, built by
+    the vectorized Arrow pass (``_shingle_minhash_iter``) — row-local
+    (no token self-join, no global distinct shuffle); set order is
+    first occurrence, matching ``array_distinct``.  Docs with no
+    shingles keep an empty-array row (legacy shape; every downstream
+    consumer filters or explodes them away)."""
+    return (_docs(spark, sf_dir).select("doc_id", "text")
+            .mapInPandas(_shingle_minhash_iter(True, False,
+                                               keep_empty=True),
+                         _SHINGLES_SCHEMA))
 
 
 def _bigrams(spark, sf_dir):
@@ -193,26 +274,18 @@ def minhash_signatures(spark, sf_dir, n_hashes: int = N_HASHES):
     """MinHash signature per doc: h_i(x) = (a_i·x + b_i) mod M over the
     md5-derived shingle hashes; min per permutation.
 
-    Entirely ROW-LOCAL since round 3: the shingle set is an array
-    column, so each permutation's min is ``array_min(transform(...))``
-    on the row — no shingle explode, no groupBy shuffle at all (round
-    2 shuffled one row per doc after a map-side min combine; now the
-    signature never leaves the scan stage).  Docs with no shingles
-    have no signature (they had no rows under the old groupBy)."""
-    from pyspark.sql import functions as F
-
-    ds = _doc_shingles(spark, sf_dir).filter(F.size("sh_arr") > 0)
-    hashed = ds.select(
-        "doc_id",
-        F.expr("transform(sh_arr, s -> cast(conv(substring(md5(s), 1, "
-               "12), 16, 10) AS bigint))").alias("harr"))
-    mins = [
-        F.array_min(F.expr(
-            f"transform(harr, h -> (h * {_PERM_A[i]} + {_PERM_B[i]}) "
-            f"% {_MERSENNE})")).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    return hashed.select("doc_id", *mins)
+    Row-local AND vectorized: one Arrow pass computes shingles, 48-bit
+    md5 hashes and all permutation mins per batch (see
+    ``_shingle_minhash_iter``) — no shuffle, and none of the
+    interpreted per-element HOF evaluation the first round-3 shape
+    paid (measured 10 s → sub-second at sf0.1).  Docs with no
+    shingles have no signature row (unchanged)."""
+    schema = "doc_id long, " + ", ".join(
+        f"mh{i} long" for i in range(n_hashes))
+    return (_docs(spark, sf_dir).select("doc_id", "text")
+            .mapInPandas(_shingle_minhash_iter(False, True,
+                                               n_hashes=n_hashes),
+                         schema))
 
 
 # One persisted generation per session for dedup_minhash_lsh (the
@@ -241,13 +314,21 @@ def dedup_minhash_lsh(spark, sf_dir):
     from pyspark.sql import functions as F
 
     _lsh_release_persists()
-    sig = minhash_signatures(spark, sf_dir)
+    # ONE vectorized Arrow pass computes BOTH the signature columns
+    # (banding input) and the shingle set array (verify input); the
+    # persisted base is read by the banding self-join's two sides and
+    # the verify step's two joins — the shingle/md5/min work happens
+    # exactly once per doc.
+    base = (_docs(spark, sf_dir).select("doc_id", "text")
+            .mapInPandas(_shingle_minhash_iter(True, True),
+                         _SHINGLE_SIG_SCHEMA)
+            .persist())
+    _LSH_PERSIST_CACHE.append(base)
     rows_per_band = N_HASHES // N_BANDS
     # All bands from ONE pass over the signatures: an array-of-structs
     # explode instead of a union of per-band selects (the round-1 union
     # re-computed the whole shingle→minhash pipeline once per band —
-    # 8× the dominant cost), then persisted so the self-join's two
-    # sides don't recompute it either (docs × n_bands small rows).
+    # 8× the dominant cost); docs × n_bands small rows.
     band_structs = [
         F.struct(
             F.lit(bnd).alias("band"),
@@ -256,11 +337,10 @@ def dedup_minhash_lsh(spark, sf_dir):
                 for r in range(rows_per_band)])).alias("bucket"))
         for bnd in range(N_BANDS)
     ]
-    banded = (sig.select(
+    banded = (base.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
-        .persist())
+                F.col("bb.bucket").alias("bucket")))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -283,11 +363,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     # join (the pairs are already keyed on the join columns).
     cand = cand.persist()
     n_cand = cand.count()
-    # the banding plan is fully consumed once the candidate count
-    # materializes — release it now; cand/sh are registered in the
-    # one-generation cache the next invocation (or a session cleanup)
-    # releases after the caller materializes the result
-    banded.unpersist(False)
+    # cand/base live in the one-generation cache the next invocation
+    # (or a session cleanup) releases after the caller materializes
+    # the result
     _LSH_PERSIST_CACHE.append(cand)
     cand_join = F.broadcast(cand) if n_cand <= CAND_BROADCAST_MAX \
         else cand
@@ -296,10 +374,8 @@ def dedup_minhash_lsh(spark, sf_dir):
     # row-local ``array_intersect`` — no shingle explode, no per-pair
     # groupBy (round 2 joined exploded shingle rows and re-aggregated;
     # the per-pair intersection work is the same, the shuffles are
-    # gone).  ds is persisted so both joins read one materialization.
-    ds = (_doc_shingles(spark, sf_dir)
-          .filter(F.size("sh_arr") > 0).persist())
-    _LSH_PERSIST_CACHE.append(ds)
+    # gone).  Both joins read the already-persisted base.
+    ds = base.select("doc_id", "sh_arr")
     pairs = (cand_join
              .join(ds.select(F.col("doc_id").alias("cand_a"),
                              F.col("sh_arr").alias("sh_a")), "cand_a")
