@@ -496,6 +496,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         if fresh_full:
             writer = writer.option("partitionOverwriteMode", "static")
         writer.parquet(staging_path)
+        t_write_done = time.time()
         import json as _json
 
         bstat_df = (spark.read.parquet(staging_path)
@@ -507,6 +508,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                 F.col("shard").isin([int(s) for s in group_shards])
             ).filter(F.col("bucket").isin([int(x) for x in group]))
         stat_rows = bstat_df.select("bucket", "text").collect()
+        t_bstat_done = time.time()
         rows_in = {int(x): 0 for x in group}
         terms_out = {int(x): 0 for x in group}
         dl_sums = {int(x): 0 for x in group}
@@ -527,7 +529,13 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
             index_dir, run_id, "staging",
             [(int(bkt), "seconds", time.time() - t0) for bkt in group]
             + [(int(bkt), "docs", rows_in.get(bkt, 0)) for bkt in group]
-            + [(int(bkt), "tf_rows", terms_out.get(bkt, 0)) for bkt in group])
+            + [(int(bkt), "tf_rows", terms_out.get(bkt, 0)) for bkt in group]
+            # substage walls (group-level; partition_id -1): where the
+            # stage spends its time — the parallel write job vs the
+            # driver-serial bstat collect vs manifest/config I/O
+            + [(-1, "write_sec", t_write_done - t0),
+               (-1, "bstat_sec", t_bstat_done - t_write_done),
+               (-1, "manifest_sec", time.time() - t_bstat_done)])
 
     staging = spark.read.parquet(staging_path)
     doc_rows = staging.filter(F.col("row_type") == "doc")
