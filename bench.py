@@ -16,10 +16,13 @@ Three measurement groups:
    turns/sec + query p50 latency.
 3. **Scaling evidence** (north_rule two-cluster-size criterion, sandbox
    stand-in): the SAME build job on the SAME input in fresh processes
-   at ``local[8]`` and ``local[32]`` — throughput at both + scaling
-   efficiency = (T_8 / T_32) / 4.  Each child process warms the JVM
-   with a small build first (a real cluster's executors are long-lived
-   and JIT-warm; cold-JIT would randomize the comparison).
+   at ``local[4]`` and ``local[16]`` (N and 4N task slots; each slot
+   drives a JVM thread plus a python worker, so the 4N leg already
+   saturates the 32-core box) — throughput at both + scaling
+   efficiency = (T_4 / T_16) / 4, best-of-2 builds per level behind a
+   load-settle gate.  Each child process warms the JVM with a small
+   build first (a real cluster's executors are long-lived and
+   JIT-warm; cold-JIT would randomize the comparison).
 
 Engine artifacts live on /dev/shm by default so the bench measures the
 engine, not the sandbox's shared virtio disk.
@@ -51,6 +54,24 @@ WORKDIR = os.environ.get("SPARK_GRAFT_BENCH_DIR",
                          "/dev/shm/spark_graft_bench")
 SCALING_LEVELS = (4, 16)   # both within the box's physical-core budget;
                            # local[16] consistently beats local[32] here
+                           # (each mapInPandas task burns a JVM thread
+                           # PLUS a python worker, so local[16] already
+                           # drives ~28-32 of the box's 32 cores)
+
+
+def settle(max_wait: float = 90.0, target_load: float = 4.0) -> float:
+    """Wait for the box's 1-min loadavg to decay below ``target_load``
+    (bounded by ``max_wait``) before a timed measurement — the
+    previous Spark session's teardown (GC/python-worker exit) and
+    transient host-neighbor spikes otherwise land inside the next
+    timing window.  Returns the loadavg at go-time (recorded with the
+    sample for auditability)."""
+    deadline = time.time() + max_wait
+    while True:
+        load = float(open("/proc/loadavg").read().split()[0])
+        if load < target_load or time.time() >= deadline:
+            return load
+        time.sleep(5)
 
 HEADLINE = [
     "fts_bm25_topk", "fts_bm25_filtered", "fts_conjunctive_and",
@@ -98,17 +119,33 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
     build_index(spark, spark.read.parquet(warmup_path),
                 os.path.join(scratch, "warmup_idx"), n_buckets=16)
 
+    # Best-of-2 timed builds: single samples on this shared box land
+    # in contended windows often enough to invert scaling ratios
+    # (round-3 samples of the same code: 28 s and 139 s minutes
+    # apart); the min of two attempts, each behind a load-settle
+    # gate, is the engine's number rather than the neighbor's.
     tr = spark.read.parquet(transcripts_path)
+    samples = []
+    loads = []
+    for attempt in ("idx", "idx_b"):
+        loads.append(round(settle(), 2))
+        idx_dir = os.path.join(scratch, attempt)
+        t0 = time.time()
+        res = build_index(spark, tr, idx_dir,
+                          n_buckets=max(2 * n_cpus, 64))
+        samples.append(time.time() - t0)
+    shutil.rmtree(os.path.join(scratch, "idx_b"), ignore_errors=True)
     idx_dir = os.path.join(scratch, "idx")
-    t0 = time.time()
-    res = build_index(spark, tr, idx_dir, n_buckets=max(2 * n_cpus, 64))
-    build_sec = time.time() - t0
+    build_sec = min(samples)
 
     out = {"cpus": n_cpus, "n_docs": res["n_docs"],
            "build_sec": round(build_sec, 2),
+           "build_samples": [round(s, 2) for s in samples],
+           "loadavg_at_start": loads,
            "turns_per_sec": round(res["n_docs"] / build_sec, 1)}
 
     if with_queries:
+        settle()
         idx = FTSIndex(spark, idx_dir)
         qset = reference_query_set()
         # warm the query path once (python workers, parquet footers)
@@ -250,6 +287,7 @@ def main() -> None:
     scaling: dict = {}
     levels = SCALING_LEVELS if SCALING else (CPUS,)
     for n_cpus in sorted(levels, reverse=True):
+        settle()   # previous session's teardown must not bleed in
         engine[f"local[{n_cpus}]"] = spawn_child(
             n_cpus, corpus, warmup, with_queries=(n_cpus == max(levels)))
 
