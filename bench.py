@@ -20,9 +20,14 @@ Three measurement groups:
    drives a JVM thread plus a python worker, so the 4N leg already
    saturates the 32-core box) — throughput at both + scaling
    efficiency = (T_4 / T_16) / 4, best-of-2 builds per level behind a
-   load-settle gate.  Each child process warms the JVM with a small
-   build first (a real cluster's executors are long-lived and
-   JIT-warm; cold-JIT would randomize the comparison).
+   load-settle gate.  The scaling legs run on a 4× corpus
+   (``SPARK_GRAFT_SCALING_CONVS``, default 400k convs ≈ 3.9M turns):
+   the engine's per-job fixed costs (scheduling, commits, footer
+   listing) are size-independent, so measuring a scaling law on a
+   ~20-second build would measure those, not the engine — the design
+   point is 10^12 turns where they vanish.  Each child process warms
+   the JVM with a small build first (a real cluster's executors are
+   long-lived and JIT-warm; cold-JIT would randomize the comparison).
 
 Engine artifacts live on /dev/shm by default so the bench measures the
 engine, not the sandbox's shared virtio disk.
@@ -48,6 +53,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "400000"))
 WARMUP_CONVS = 2000
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 WORKDIR = os.environ.get("SPARK_GRAFT_BENCH_DIR",
@@ -105,13 +111,14 @@ def make_session(n_cpus: int, app: str):
 # --------------------------------------------------------------------------
 
 def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
-                 out_path: str, with_queries: bool) -> None:
+                 out_path: str, with_queries: bool,
+                 tag: str = "") -> None:
     from moera_search_spark.build import build_index
     from moera_search_spark.fixtures import reference_query_set
     from moera_search_spark.query import FTSIndex
 
     spark = make_session(n_cpus, f"engine-bench-{n_cpus}")
-    scratch = os.path.join(WORKDIR, f"child_{n_cpus}")
+    scratch = os.path.join(WORKDIR, f"child_{tag}{n_cpus}")
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(scratch, exist_ok=True)
 
@@ -134,7 +141,15 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         res = build_index(spark, tr, idx_dir,
                           n_buckets=max(2 * n_cpus, 64))
         samples.append(time.time() - t0)
-    shutil.rmtree(os.path.join(scratch, "idx_b"), ignore_errors=True)
+    # keep the FASTER attempt's directory — the indexes are
+    # byte-identical (deterministic build), but the kept
+    # build_metrics.parquet should describe the sample being reported
+    if samples[1] < samples[0]:
+        shutil.rmtree(os.path.join(scratch, "idx"), ignore_errors=True)
+        os.rename(os.path.join(scratch, "idx_b"),
+                  os.path.join(scratch, "idx"))
+    else:
+        shutil.rmtree(os.path.join(scratch, "idx_b"), ignore_errors=True)
     idx_dir = os.path.join(scratch, "idx")
     build_sec = min(samples)
 
@@ -196,30 +211,34 @@ def run_headline(queries_out: dict) -> float:
     return total
 
 
-def materialize_corpus() -> tuple[str, str]:
+def materialize_corpus() -> tuple[str, str, str]:
     from moera_search_spark.fixtures import transcripts_df
 
-    corpus = os.path.join(WORKDIR, f"transcripts_{N_CONVS}")
-    warmup = os.path.join(WORKDIR, f"transcripts_{WARMUP_CONVS}")
-    if os.path.exists(os.path.join(corpus, "_SUCCESS")) and \
-            os.path.exists(os.path.join(warmup, "_SUCCESS")):
-        return corpus, warmup
-    spark = make_session(CPUS, "corpus-gen")
-    transcripts_df(spark, N_CONVS).write.mode("overwrite").parquet(corpus)
-    transcripts_df(spark, WARMUP_CONVS).write.mode("overwrite") \
-        .parquet(warmup)
-    spark.stop()
-    return corpus, warmup
+    sizes = {"corpus": N_CONVS, "warmup": WARMUP_CONVS}
+    if SCALING:
+        sizes["scaling"] = SCALING_CONVS
+    paths = {k: os.path.join(WORKDIR, f"transcripts_{n}")
+             for k, n in sizes.items()}
+    missing = [k for k, p in paths.items()
+               if not os.path.exists(os.path.join(p, "_SUCCESS"))]
+    if missing:
+        spark = make_session(CPUS, "corpus-gen")
+        for k in missing:
+            transcripts_df(spark, sizes[k]).write.mode("overwrite") \
+                .parquet(paths[k])
+        spark.stop()
+    return (paths["corpus"], paths["warmup"],
+            paths.get("scaling", paths["corpus"]))
 
 
 def spawn_child(n_cpus: int, corpus: str, warmup: str,
-                with_queries: bool) -> dict:
-    out_path = os.path.join(WORKDIR, f"child_{n_cpus}.json")
+                with_queries: bool, tag: str = "") -> dict:
+    out_path = os.path.join(WORKDIR, f"child_{tag}{n_cpus}.json")
     if os.path.exists(out_path):
         os.unlink(out_path)
     cmd = [sys.executable, os.path.abspath(__file__), "--engine-child",
            str(n_cpus), corpus, warmup, out_path,
-           "1" if with_queries else "0"]
+           "1" if with_queries else "0", tag]
     env = dict(os.environ, PYTHONPATH=REPO)
     subprocess.run(cmd, check=True, env=env, timeout=2400)
     with open(out_path) as f:
@@ -246,11 +265,14 @@ def _mem_burn(_):
 
 def hw_scaling_controls(lo: int, hi: int) -> dict:
     """Hardware ceiling controls, independent of Spark: how well do
-    pure-CPU work and memory-copy work scale from lo to hi processes
-    on THIS box?  A single shared memory bus caps any data-processing
-    engine's in-box scaling; on a real N-vs-4N-node cluster each node
-    brings its own bus, so the build's efficiency should be read
-    against `mem_eff`, not against 1.0."""
+    pure-CPU work and memory-copy work scale from lo to hi task slots
+    on THIS box?  Each Spark task slot drives ~2 threads (a JVM task
+    thread plus its python worker), so the control loads 2n processes
+    per level — local[16] really occupies ~32 of the box's 32 cores.
+    A single shared memory bus caps any data-processing engine's
+    in-box scaling; on a real N-vs-4N-node cluster each node brings
+    its own bus, so the build's efficiency should be read against
+    `mem_eff`, not against 1.0."""
     from multiprocessing import Pool
 
     out = {}
@@ -259,9 +281,9 @@ def hw_scaling_controls(lo: int, hi: int) -> dict:
         for _rep in range(2):     # best-of-2: least-contended sample
             walls = {}
             for n in (lo, hi):
-                with Pool(n) as p:
+                with Pool(2 * n) as p:
                     t0 = time.time()
-                    p.map(fn, range(n))   # n tasks on n procs
+                    p.map(fn, range(2 * n))   # 2n tasks on 2n procs
                     walls[n] = time.time() - t0
             # work scales with n, so perfect scaling → equal walls;
             # efficiency = wall_lo / wall_hi
@@ -273,7 +295,8 @@ def hw_scaling_controls(lo: int, hi: int) -> dict:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--engine-child":
         engine_child(int(sys.argv[2]), sys.argv[3], sys.argv[4],
-                     sys.argv[5], sys.argv[6] == "1")
+                     sys.argv[5], sys.argv[6] == "1",
+                     sys.argv[7] if len(sys.argv) > 7 else "")
         return
 
     os.makedirs(WORKDIR, exist_ok=True)
@@ -282,29 +305,40 @@ def main() -> None:
 
     headline_sec = run_headline(queries)
 
-    corpus, warmup = materialize_corpus()
+    corpus, warmup, scaling_corpus = materialize_corpus()
+    hi, lo = max(SCALING_LEVELS), min(SCALING_LEVELS)
     engine: dict = {}
     scaling: dict = {}
-    levels = SCALING_LEVELS if SCALING else (CPUS,)
-    for n_cpus in sorted(levels, reverse=True):
-        settle()   # previous session's teardown must not bleed in
-        engine[f"local[{n_cpus}]"] = spawn_child(
-            n_cpus, corpus, warmup, with_queries=(n_cpus == max(levels)))
+    # engine leg: build + reference-query latency at the 4N level on
+    # the round-over-round comparison corpus (N_CONVS)
+    settle()
+    engine[f"local[{hi}]"] = spawn_child(hi, corpus, warmup,
+                                         with_queries=True)
+    queries["engine_build"] = engine[f"local[{hi}]"]["build_sec"]
+    queries["engine_query_p50_exhaustive"] = \
+        engine[f"local[{hi}]"].get("p50_exhaustive_sec")
+    queries["engine_query_p50_pruned"] = \
+        engine[f"local[{hi}]"].get("p50_pruned_sec")
 
-    hi, lo = max(levels), min(levels)
-    hi_res = engine[f"local[{hi}]"]
-    queries["engine_build"] = hi_res["build_sec"]
-    queries["engine_query_p50_exhaustive"] = hi_res.get("p50_exhaustive_sec")
-    queries["engine_query_p50_pruned"] = hi_res.get("p50_pruned_sec")
     if SCALING and hi != lo:
-        lo_res = engine[f"local[{lo}]"]
-        eff = (lo_res["build_sec"] / hi_res["build_sec"]) / (hi / lo)
+        # scaling legs: same job, 4× corpus (see module docstring),
+        # build-only, best-of-2 per level behind settle gates
+        legs: dict = {}
+        for n_cpus in (hi, lo):
+            settle()   # previous teardown must not bleed in
+            legs[n_cpus] = spawn_child(n_cpus, scaling_corpus, warmup,
+                                       with_queries=False, tag="s")
+        eff = (legs[lo]["build_sec"] / legs[hi]["build_sec"]) / (hi / lo)
         controls = hw_scaling_controls(lo, hi)
         scaling = {
             "levels": [lo, hi],
-            "n_turns": hi_res["n_docs"],
-            f"throughput_local{lo}": lo_res["turns_per_sec"],
-            f"throughput_local{hi}": hi_res["turns_per_sec"],
+            "n_turns": legs[hi]["n_docs"],
+            f"throughput_local{lo}": legs[lo]["turns_per_sec"],
+            f"throughput_local{hi}": legs[hi]["turns_per_sec"],
+            f"build_sec_local{lo}": legs[lo]["build_sec"],
+            f"build_sec_local{hi}": legs[hi]["build_sec"],
+            "build_samples": {str(n): legs[n]["build_samples"]
+                              for n in (lo, hi)},
             "efficiency": round(eff, 3),
             # shared-memory-bus ceiling of this single box (a real
             # N-vs-4N cluster adds memory buses with nodes):

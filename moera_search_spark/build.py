@@ -6,10 +6,11 @@ checkpoints a cursor per story; scanner/ingest/PostingIngest.java:77-202
 assembles an IndexedDocument and writes it to the index at
 index/Index.java:131-143, storing the engine-assigned documentId back):
 
-    read transcripts → bucket by conv_id range → per-bucket staging
-    (stable local doc numbering + tokenize/tf, one Arrow pass)
-    → global stats (N, avgdl, df) → global doc_id assignment
-    → chunked posting-block encoding → postings/docs/stats tables
+    read transcripts → bucket by conv_id range → exact bucket counts
+    (pins global doc_id offsets) → per-bucket staging (final doc ids +
+    tokenize + pre-encoded posting runs, one Arrow pass) → global
+    stats (N, avgdl, df) → run shuffle + canonical chunk-local block
+    re-encode → postings/docs/stats tables
 
 Scale design decisions (these are the 100-TB story, not test-size
 conveniences):
@@ -19,10 +20,17 @@ conveniences):
   bucket is an independently checkpointable unit (manifest row), and a
   resumed build is byte-identical because bucket boundaries are pinned
   in ``_build_config.json``.
-* **tf computed map-side** — term frequencies and doc lengths are
-  emitted from one Arrow pass over each bucket (no groupBy shuffle for
-  tf; dl rides along with every tf row so posting encoding never joins
-  back to docs).
+* **tf computed AND pre-encoded map-side** — term frequencies and doc
+  lengths are emitted from one Arrow pass over each bucket, already
+  varbyte-encoded as (term, chunk, bucket)-local posting *runs* with
+  FINAL global doc_ids (an exact per-bucket count pre-pass pins the
+  doc_id offsets in the config before staging starts).  Raw
+  (doc, term, tf) rows — ~10× the corpus token count — never cross a
+  shuffle or the Arrow boundary twice: the postings job shuffles
+  compressed runs (~the index size), decodes them in one vectorized
+  pass, and re-encodes canonical chunk-local blocks byte-identical to
+  single-shot encoding.  At 10^12 turns this is the difference between
+  shuffling ~a petabyte of token rows and shuffling ~the index.
 * **Head-term skew** — postings are grouped by ``(term, chunk)`` where
   ``chunk = doc_id // chunk_size``: a stopword-like term occupying 30%
   of a 10^12-doc corpus is split across ~10^8 bounded-size groups
@@ -36,16 +44,18 @@ conveniences):
   (map-side partial combine; Catalyst handles two-phase agg); N/avgdl
   come free from the per-bucket staging counts (no extra scan).
 * **Minimum job count** — every Spark job on a 1000-executor cluster
-  pays scheduling + commit overhead, so the build is exactly five
-  data jobs: boundary sampling, staging write, staging counts,
-  term_stats, docs write (map-only — staging is already
-  bucket-range-partitioned and sorted, so doc_ids need no shuffle),
-  postings encode+write; plus one metadata-only job deriving the
-  ``pc_bounds`` pruning sidecar from the written postings metadata
-  columns (bytes per block, not the payloads).
-  ``repartitionByRange`` is never used after staging because its
-  hidden sampling job re-executes upstream lineage (it would run the
-  Python encoder twice).
+  pays scheduling + commit overhead, so the build is exactly six
+  data jobs: boundary sampling, exact bucket counts (conv_id column
+  only), staging write, term_stats (an agg over run METADATA — the
+  per-run n_docs sums to df, no token rows are re-scanned), docs
+  write (map-only — staging rows carry final doc_ids, so no join and
+  no shuffle), postings re-encode+write (ONE shuffle, keyed directly
+  on the final (term_bucket, file-split) layout); plus one
+  metadata-only job deriving the ``pc_bounds`` pruning sidecar from
+  the written postings metadata columns (bytes per block, not the
+  payloads).  ``repartitionByRange`` is never used after staging
+  because its hidden sampling job re-executes upstream lineage (it
+  would run the tokenizer twice).
 * **Term-sharded postings layout** — postings are written
   ``partitionBy(term_bucket)`` with ``term_bucket = crc32(term) %
   n_term_buckets``: a query for T terms touches at most T directories
@@ -63,13 +73,14 @@ from typing import Iterator
 import pandas as pd
 
 from . import manifest as mf
-from .analyzer import analyze, doc_terms_tf, make_stemmer
-from .postings import BLOCK_SIZE, CHUNK_SIZE, K1, B, encode_term_run
+from .analyzer import doc_terms_tf, make_stemmer
+from .postings import BLOCK_SIZE, CHUNK_SIZE, K1, B
 
 STAGING_SCHEMA_DDL = (
-    "bucket int, local_idx long, row_type string, conv_id string, "
+    "bucket int, doc_id long, row_type string, conv_id string, "
     "turn_idx int, role string, tool string, ts timestamp, text string, "
-    "term string, tf int, dl int"
+    "dl int, term string, n_docs int, first_doc_id long, "
+    "last_doc_id long, deltas binary, tfs binary, dls binary"
 )
 
 POSTINGS_SCHEMA_DDL = (
@@ -108,6 +119,17 @@ def term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
     import zlib
 
     return (zlib.crc32(term.encode("utf-8")) & 0xFFFFFFFF) % n_buckets
+
+
+def term_bucket_expr(n_buckets: int = N_TERM_BUCKETS):
+    """JVM-side twin of ``term_bucket`` (CRC-32 IEEE mod n) — lets the
+    postings job partition on the final directory layout without a
+    python round-trip.  Equality with the python function is pinned by
+    a unit test (tests/test_round3_fixes.py)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"cast(pmod(crc32(encode(term, 'utf-8')), {n_buckets}) as int)")
 
 DOCS_COLS = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl",
              "text"]
@@ -201,13 +223,49 @@ def compute_boundaries(spark, df, n_buckets: int,
     return [""] + [b for b in bounds if b > ""]
 
 
-def _staging_iter(mode: str):
+_STAGING_COLS = ["bucket", "doc_id", "row_type", "conv_id", "turn_idx",
+                 "role", "tool", "ts", "text", "dl", "term", "n_docs",
+                 "first_doc_id", "last_doc_id", "deltas", "tfs", "dls"]
+
+
+def _staging_pad(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fill the staging columns a row type doesn't carry with typed
+    nulls and order columns to ``_STAGING_COLS``."""
+    n = len(pdf)
+    defaults = {
+        "bucket": 0, "doc_id": pd.array([None] * n, dtype="Int64"),
+        "row_type": "", "conv_id": None,
+        "turn_idx": pd.array([None] * n, dtype="Int32"),
+        "role": None, "tool": None, "ts": pd.NaT, "text": None,
+        "dl": pd.array([None] * n, dtype="Int32"), "term": None,
+        "n_docs": pd.array([None] * n, dtype="Int32"),
+        "first_doc_id": pd.array([None] * n, dtype="Int64"),
+        "last_doc_id": pd.array([None] * n, dtype="Int64"),
+        "deltas": None, "tfs": None, "dls": None,
+    }
+    for c, v in defaults.items():
+        if c not in pdf.columns:
+            pdf[c] = v
+    return pdf[_STAGING_COLS]
+
+
+def _staging_iter(mode: str, offsets, chunk_size: int):
     """mapInPandas body for the per-bucket staging pass.
 
-    Input is hash-partitioned by bucket and sorted within partitions by
-    (bucket, conv_id, turn_idx); per-bucket local_idx counters carry
-    across Arrow batches.  Emits one 'doc' row per turn (with dl) and
-    one 'tf' row per distinct (doc, term) — tf and dl computed map-side.
+    Input is hash-partitioned by shard and sorted within partitions by
+    (bucket, conv_id, turn_idx); per-bucket doc counters carry across
+    Arrow batches.  doc_ids are FINAL global ids — ``offsets`` (from
+    the exact-count pre-pass, pinned in the build config) plus the
+    per-bucket running index.
+
+    Emits one 'doc' row per turn (with dl) and one pre-encoded 'run'
+    row per (term, chunk, bucket): that term's postings within the
+    chunk, varbyte-encoded with the posting-block codec.  Runs never
+    span a bucket (staged bytes stay parallelism-invariant — bucket
+    content is the only input) or a chunk (so the downstream re-encode
+    groups are exactly the canonical (term, chunk) block groups).
+    Token rows therefore cross the Arrow boundary once, here; the
+    shuffle downstream moves only compressed runs.
     """
 
     def fn(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -215,12 +273,66 @@ def _staging_iter(mode: str):
 
         import numpy as np
 
+        from .postings import vb_encode_many
+
+        offs = np.asarray(offsets, dtype=np.int64)
         counters: dict[int, int] = {}
-        tf_counts: dict[int, int] = {}
+        post_counts: dict[int, int] = {}
         dl_sums: dict[int, int] = {}
         stemmer = make_stemmer(mode)
-        cols = ["bucket", "local_idx", "row_type", "conv_id", "turn_idx",
-                "role", "tool", "ts", "text", "term", "tf", "dl"]
+
+        # open (bucket, chunk) accumulation — flushed when either
+        # changes or the partition ends; bounded by chunk_size docs
+        open_bucket = -1
+        open_chunk = -1
+        acc_terms: list = []   # python-str lists, one per appended slice
+        acc_docs: list = []    # int64 arrays (global doc_ids, repeated)
+        acc_tfs: list = []
+        acc_dls: list = []
+
+        def flush() -> pd.DataFrame | None:
+            nonlocal acc_terms, acc_docs, acc_tfs, acc_dls
+            if not acc_docs:
+                return None
+            terms_f = np.array(list(chain.from_iterable(acc_terms)),
+                               dtype=object)
+            doc_f = np.concatenate(acc_docs)
+            tf_f = np.concatenate(acc_tfs)
+            dl_f = np.concatenate(acc_dls)
+            acc_terms, acc_docs, acc_tfs, acc_dls = [], [], [], []
+            # group the chunk's postings by term: factorize (C-speed
+            # hash) + stable argsort on the codes keeps each term's
+            # postings in ascending doc order
+            codes, uniques = pd.factorize(terms_f)
+            order = np.argsort(codes, kind="stable")
+            c = codes[order]
+            d = doc_f[order]
+            t = tf_f[order]
+            dl_s = dl_f[order]
+            n = c.shape[0]
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            np.not_equal(c[1:], c[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            cnts = np.diff(np.append(starts, n))
+            gaps = np.empty(n, dtype=np.int64)
+            gaps[0] = 0
+            np.subtract(d[1:], d[:-1], out=gaps[1:])
+            gaps[starts] = 0
+            runs = pd.DataFrame({
+                "bucket": np.int32(open_bucket),
+                "row_type": "run",
+                "term": np.asarray(uniques, dtype=object)[c[starts]],
+                "n_docs": pd.array(cnts, dtype="Int32"),
+                "first_doc_id": pd.array(d[starts], dtype="Int64"),
+                "last_doc_id": pd.array(d[starts + cnts - 1],
+                                        dtype="Int64"),
+                "deltas": vb_encode_many(gaps, cnts),
+                "tfs": vb_encode_many(t, cnts),
+                "dls": vb_encode_many(dl_s, cnts),
+            })
+            return _staging_pad(runs)
+
         for pdf in pdf_iter:
             n = len(pdf)
             if n == 0:
@@ -236,124 +348,146 @@ def _staging_iter(mode: str):
                                   np.int64, count=n)
             dl_arr = np.fromiter((sum(c.values()) for c in counts_list),
                                  np.int64, count=n)
-            # per-bucket local indices: input is sorted by bucket, so
+            # per-bucket doc numbering: input is sorted by bucket, so
             # buckets form contiguous segments; counters persist across
             # Arrow batches (a bucket may span batches, never tasks)
-            local_idx = np.empty(n, np.int64)
-            change = np.empty(n, dtype=bool)
-            change[0] = True
-            np.not_equal(buckets[1:], buckets[:-1], out=change[1:])
-            seg_starts = np.flatnonzero(change)
-            seg_ends = np.append(seg_starts[1:], n)
-            for s, e in zip(seg_starts, seg_ends):
+            doc_id = np.empty(n, np.int64)
+            bchange = np.empty(n, dtype=bool)
+            bchange[0] = True
+            np.not_equal(buckets[1:], buckets[:-1], out=bchange[1:])
+            bstarts = np.flatnonzero(bchange)
+            for s, e in zip(bstarts, np.append(bstarts[1:], n)):
                 bkt = int(buckets[s])
                 base = counters.get(bkt, 0)
-                local_idx[s:e] = np.arange(base, base + (e - s))
+                doc_id[s:e] = offs[bkt] + np.arange(base, base + (e - s))
                 counters[bkt] = int(base + (e - s))
                 dl_sums[bkt] = dl_sums.get(bkt, 0) + int(dl_arr[s:e].sum())
-                tf_counts[bkt] = tf_counts.get(bkt, 0) \
+                post_counts[bkt] = post_counts.get(bkt, 0) \
                     + int(n_terms[s:e].sum())
+            chunk_arr = doc_id // chunk_size
+            # accumulate postings per (bucket, chunk) segment
+            kchange = bchange.copy()
+            np.logical_or(kchange[1:], chunk_arr[1:] != chunk_arr[:-1],
+                          out=kchange[1:])
+            seg_starts = np.flatnonzero(kchange)
+            seg_ends = np.append(seg_starts[1:], n)
+            for s, e in zip(seg_starts, seg_ends):
+                bkt, ch = int(buckets[s]), int(chunk_arr[s])
+                if bkt != open_bucket or ch != open_chunk:
+                    out = flush()
+                    if out is not None:
+                        yield out
+                    open_bucket, open_chunk = bkt, ch
+                seg_counts = counts_list[s:e]
+                seg_n = n_terms[s:e]
+                acc_terms.append(list(chain.from_iterable(seg_counts)))
+                acc_docs.append(np.repeat(doc_id[s:e], seg_n))
+                acc_tfs.append(np.fromiter(
+                    chain.from_iterable(c.values() for c in seg_counts),
+                    np.int64, count=int(seg_n.sum())))
+                acc_dls.append(np.repeat(dl_arr[s:e], seg_n))
             docs = pd.DataFrame({
-                "bucket": buckets, "local_idx": local_idx,
+                "bucket": buckets, "doc_id": doc_id,
                 "row_type": "doc",
                 "conv_id": pdf["conv_id"].values,
                 "turn_idx": pdf["turn_idx"].values,
                 "role": pdf["role"].values, "tool": pdf["tool"].values,
                 "ts": pdf["ts"].values, "text": texts,
-                "term": None,
-                "tf": pd.array([None] * n, dtype="Int32"),
-                "dl": dl_arr,
+                "dl": pd.array(dl_arr, dtype="Int32"),
             })
-            total_tf = int(n_terms.sum())
-            tfs = pd.DataFrame({
-                "bucket": np.repeat(buckets, n_terms),
-                "local_idx": np.repeat(local_idx, n_terms),
-                "row_type": "tf",
-                "conv_id": None,
-                "turn_idx": pd.array([None] * total_tf, dtype="Int32"),
-                "role": None, "tool": None, "ts": pd.NaT, "text": None,
-                "term": list(chain.from_iterable(counts_list)),
-                "tf": np.fromiter(
-                    chain.from_iterable(c.values() for c in counts_list),
-                    np.int32, count=total_tf),
-                "dl": np.repeat(dl_arr, n_terms),
-            })
-            yield pd.concat([docs[cols], tfs[cols]], ignore_index=True)
-        # One 'bstat' summary row per bucket this task owned: exact doc /
-        # tf-row / dl totals, so the build never re-scans staging to
-        # count (the totals ride out through the same committed write).
+            yield _staging_pad(docs)
+        out = flush()
+        if out is not None:
+            yield out
+        # One 'bstat' summary row per bucket this task owned: exact doc
+        # / posting / dl totals, so the build never re-scans staging to
+        # count (the totals ride out through the same committed write),
+        # and the driver verifies them against the pre-pass counts (a
+        # loud failure if the input changed between the two passes).
         if counters:
             import json as _json
 
             stat = pd.DataFrame({
                 "bucket": list(counters.keys()),
-                "local_idx": [0] * len(counters),
                 "row_type": "bstat",
-                "conv_id": None, "turn_idx": pd.array(
-                    [None] * len(counters), dtype="Int32"),
-                "role": None, "tool": None, "ts": pd.NaT,
                 "text": [_json.dumps(
-                    {"docs": counters[b], "tf_rows": tf_counts.get(b, 0),
-                     "dl_sum": dl_sums.get(b, 0)}) for b in counters],
-                "term": None,
-                "tf": pd.array([None] * len(counters), dtype="Int32"),
-                "dl": 0,
+                    {"docs": counters[b], "tf_rows": post_counts.get(b, 0),
+                     "dl_sum": dl_sums[b]}) for b in counters],
             })
-            yield stat[cols]
+            yield _staging_pad(stat)
 
     return fn
 
 
-def _encode_iter(avgdl: float, k1: float, b: float, block_size: int,
-                 n_term_buckets: int = N_TERM_BUCKETS):
-    """mapInPandas body for posting-block encoding.
+def _reencode_iter(avgdl: float, k1: float, b: float, block_size: int,
+                   n_term_buckets: int = N_TERM_BUCKETS):
+    """mapInPandas body turning staged posting RUNS into canonical
+    chunk-local blocks.
 
-    Input sorted within partitions by (term, chunk, doc_id).  The last
-    (term, chunk) group of each Arrow batch may continue in the next
-    batch, so it is carried over; carry size is bounded by chunk_size.
+    Input: run rows sorted within partitions by (term, chunk,
+    first_doc_id); every run of a (term, chunk) group is in the same
+    partition because the shuffle key (term_bucket, file split) is a
+    function of term.  Each batch is decoded in ONE vectorized pass
+    (``decode_blocks_batch``) and the (term, chunk) groups — each the
+    concatenation of disjoint ascending bucket runs — are re-encoded
+    in ONE vectorized pass (``encode_blocks_batch``), yielding blocks
+    byte-identical to encoding each group's postings in one shot: the
+    final index is invariant to bucketing AND build parallelism.  The
+    last (term, chunk) group of
+    each Arrow batch may continue in the next batch, so its runs are
+    carried over (carry ≤ chunk_size postings, compressed).
     """
     import numpy as np
 
+    from .postings import decode_blocks_batch, encode_blocks_batch
+
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Sorted input → group boundaries via numpy change points (a
-        # pandas groupby over ~10^6 tiny (term, chunk) groups would pay
-        # ~100 µs of framework overhead per group; this pays ~1 µs).
+        # Sorted input → group boundaries via numpy change points, then
+        # ONE vectorized decode and ONE vectorized block encode for the
+        # whole batch (a pandas groupby — or per-group numpy work —
+        # over ~10^6 tiny (term, chunk) groups pays ~100 µs of
+        # dispatch per group; this pays ~1 µs).
         terms = pdf["term"].values
         chunks = pdf["chunk"].values.astype(np.int64)
-        doc_ids = pdf["doc_id"].values.astype(np.int64)
-        tfs_a = pdf["tf"].values.astype(np.int64)
-        dls_a = pdf["dl"].values.astype(np.int64)
-        n = doc_ids.shape[0]
+        counts = pdf["n_docs"].values.astype(np.int64)
+        doc_ids, tfs_a, dls_a = decode_blocks_batch(
+            pdf["first_doc_id"].values.astype(np.int64), counts,
+            list(pdf["deltas"].values), list(pdf["tfs"].values),
+            list(pdf["dls"].values))
+        n = terms.shape[0]
         change = np.empty(n, dtype=bool)
         change[0] = True
         np.not_equal(terms[1:], terms[:-1], out=change[1:])
         np.logical_or(change[1:], chunks[1:] != chunks[:-1],
                       out=change[1:])
-        seg_starts = np.flatnonzero(change)
-        seg_ends = np.append(seg_starts[1:], n)
-        out = {c: [] for c in ("term", "term_bucket", "first_doc_id",
-                               "last_doc_id", "n_docs", "deltas", "tfs",
-                               "dls", "max_tfnorm")}
+        run_starts = np.flatnonzero(change)
+        post_cum = np.concatenate([np.zeros(1, dtype=np.int64),
+                                   np.cumsum(counts)])
+        group_counts = np.diff(np.append(post_cum[run_starts],
+                                         post_cum[-1]))
+        (block_group, first_ids, last_ids, n_docs_b, deltas_b, tfs_b,
+         dls_b, mx) = encode_blocks_batch(
+            doc_ids, tfs_a, dls_a, group_counts, avgdl,
+            block_size=block_size, k1=k1, b=b)
+        group_terms = terms[run_starts]
+        block_terms = group_terms[block_group]
+        # term_bucket per unique group term (python crc32, one probe
+        # per distinct term rather than per block)
         bucket_cache: dict[str, int] = {}
-        for s, e in zip(seg_starts, seg_ends):
-            term = terms[s]
-            rows = encode_term_run(
-                doc_ids[s:e], tfs_a[s:e], dls_a[s:e],
-                avgdl, block_size=block_size, k1=k1, b=b)
-            tb = bucket_cache.get(term)
-            if tb is None:
-                tb = bucket_cache[term] = term_bucket(term, n_term_buckets)
-            for (f, l, cnt, d, t, dl_, mx) in rows:
-                out["term"].append(term)
-                out["term_bucket"].append(tb)
-                out["first_doc_id"].append(f)
-                out["last_doc_id"].append(l)
-                out["n_docs"].append(cnt)
-                out["deltas"].append(d)
-                out["tfs"].append(t)
-                out["dls"].append(dl_)
-                out["max_tfnorm"].append(mx)
-        return pd.DataFrame(out)
+        tb_per_group = np.fromiter(
+            (bucket_cache.setdefault(t, term_bucket(t, n_term_buckets))
+             for t in group_terms), np.int32, count=group_terms.shape[0])
+        return pd.DataFrame({
+            "term": block_terms,
+            "term_bucket": tb_per_group[block_group],
+            "first_doc_id": first_ids,
+            "last_doc_id": last_ids,
+            "n_docs": n_docs_b.astype(np.int32),
+            "deltas": deltas_b,
+            "tfs": tfs_b,
+            "dls": dls_b,
+            "max_tfnorm": mx,
+        })
 
     def fn(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -416,12 +550,26 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
 
             shutil.rmtree(index_dir)
         boundaries = compute_boundaries(spark, transcripts, n_buckets)
+        # Exact per-bucket doc counts (reads the conv_id column ONLY —
+        # parquet column pruning never touches the text payloads): pins
+        # the global doc_id offsets in the config BEFORE staging, so
+        # staged rows carry final doc_ids and postings can be
+        # pre-encoded map-side.  Driver memory is O(n_buckets), the
+        # same scale the boundaries list already is.
+        cnt_rows = (transcripts
+                    .select(_bucket_udf(boundaries)(F.col("conv_id"))
+                            .alias("bucket"))
+                    .groupBy("bucket").count().collect())
+        counts = [0] * len(boundaries)
+        for r in cnt_rows:
+            counts[int(r["bucket"])] = int(r["count"])
         config = {"mode": mode, "n_buckets": len(boundaries), "k1": k1,
                   "b": b, "block_size": block_size, "chunk_size": chunk_size,
                   "n_term_buckets": n_term_buckets,
                   "doc_id_offset": doc_id_offset,
                   "pc_granularity": max(64, chunk_size // 32),
-                  "boundaries": boundaries, "bucket_stats": {}}
+                  "boundaries": boundaries, "bucket_counts": counts,
+                  "bucket_stats": {}}
         mf.save_config(index_dir, config)
     boundaries = config["boundaries"]
     n_buckets = config["n_buckets"]
@@ -429,6 +577,17 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     block_size, chunk_size = config["block_size"], config["chunk_size"]
     n_term_buckets = config.get("n_term_buckets", N_TERM_BUCKETS)
     doc_id_offset = int(config.get("doc_id_offset", 0))
+    if "bucket_counts" not in config:
+        raise ValueError(
+            "this index was staged by a pre-run-format build (no "
+            "bucket_counts in _build_config.json) — resume is not "
+            "possible across the staging format change; rebuild fresh")
+    counts = [int(c) for c in config["bucket_counts"]]
+    offsets = [0] * n_buckets
+    acc = doc_id_offset
+    for bkt in range(n_buckets):
+        offsets[bkt] = acc
+        acc += counts[bkt]
 
     staging_path = os.path.join(index_dir, "staging")
     bucket_col = _bucket_udf(boundaries)(F.col("conv_id"))
@@ -479,8 +638,9 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         # regardless of bucket count or build parallelism
         sub = (sub.repartition(n_parts, "shard")
                .sortWithinPartitions("bucket", "conv_id", "turn_idx"))
-        staged = sub.mapInPandas(_staging_iter(mode), STAGING_SCHEMA_DDL) \
-            .withColumn("shard", shard_col)
+        staged = sub.mapInPandas(
+            _staging_iter(mode, offsets, chunk_size),
+            STAGING_SCHEMA_DDL).withColumn("shard", shard_col)
         # Partitioned by (shard, row_type): later stages read doc / tf
         # rows via directory pruning on row_type, per-bucket reads
         # prune shard dirs then push the bucket predicate into the
@@ -519,6 +679,11 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
             terms_out[bkt] = int(s["tf_rows"])
             dl_sums[bkt] = int(s["dl_sum"])
         for bkt in group:
+            if rows_in[int(bkt)] != counts[int(bkt)]:
+                raise RuntimeError(
+                    f"bucket {bkt}: staged {rows_in[int(bkt)]} docs but "
+                    f"the count pre-pass saw {counts[int(bkt)]} — the "
+                    "transcripts input changed mid-build; rebuild fresh")
             config["bucket_stats"][str(int(bkt))] = {
                 "docs": rows_in[int(bkt)], "tf_rows": terms_out[int(bkt)],
                 "dl_sum": dl_sums[int(bkt)]}
@@ -539,7 +704,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
 
     staging = spark.read.parquet(staging_path)
     doc_rows = staging.filter(F.col("row_type") == "doc")
-    tf_rows = staging.filter(F.col("row_type") == "tf")
+    run_rows = staging.filter(F.col("row_type") == "run")
 
     # ---- stage 2: global stats ----
     # N / avgdl / doc_id offsets come free from the per-bucket staging
@@ -552,22 +717,6 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                    if str(b_) in bstats)
     avgdl = (total_dl / n_docs) if n_docs else 0.0
 
-    # ---- stage 3 prep: global doc_id assignment (offsets from stats) ----
-    # The per-bucket offset table joins in as a BROADCAST dimension (a
-    # create_map literal of 2^18 entries would bloat every downstream
-    # plan the same way the round-1 bucket expression did).
-    offsets, acc = {}, doc_id_offset
-    for bkt in range(n_buckets):
-        offsets[bkt] = acc
-        acc += int(bstats.get(str(bkt), {}).get("docs", 0))
-    offsets_df = F.broadcast(spark.createDataFrame(
-        [(int(b), int(o)) for b, o in offsets.items()],
-        "bucket int, _doc_off long"))
-    doc_id_col = (F.col("_doc_off") + F.col("local_idx")).alias("doc_id")
-
-    def with_doc_id(df):
-        return df.join(offsets_df, "bucket")
-
     # ---- stages 2-4: stats / docs / postings ----
     # The three output jobs depend only on staging, not on each other,
     # so they are submitted CONCURRENTLY (ThreadPoolExecutor → separate
@@ -579,59 +728,61 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         pd.DataFrame([{"n_docs": n_docs, "avgdl": avgdl,
                        "total_dl": total_dl}]).to_parquet(
             _single_parquet(index_dir, "corpus_stats"), index=False)
-        (tf_rows.groupBy("term").agg(F.count("*").alias("df"))
+        # df per term = Σ run n_docs (each posting is one (doc, term)
+        # pair) — an agg over run METADATA columns, never token rows
+        (run_rows.groupBy("term")
+         .agg(F.sum("n_docs").cast("long").alias("df"))
          .sortWithinPartitions("term")
          .write.mode("overwrite")
          .parquet(os.path.join(index_dir, "term_stats")))
 
     def _job_docs():
-        # Map-only write (the offsets broadcast join is shuffle-free):
-        # staging is shard-partitioned and sorted by (bucket, conv_id,
-        # turn_idx) with cumulative per-bucket offsets, so doc_id =
-        # offset + local_idx is already monotone within every output
-        # file — file-level min-max on doc_id stays disjoint with zero
-        # shuffle.
-        (with_doc_id(doc_rows)
-         .select(doc_id_col, "conv_id", "turn_idx", "role", "tool",
+        # Map-only write, zero joins: staging rows carry FINAL doc_ids
+        # (offsets pinned by the count pre-pass) and are shard-
+        # partitioned and sorted by (bucket, conv_id, turn_idx), so
+        # doc_id is already monotone within every output file —
+        # file-level min-max on doc_id stays disjoint with zero shuffle.
+        (doc_rows
+         .select("doc_id", "conv_id", "turn_idx", "role", "tool",
                  "ts", "dl", "text")
          .write.mode("overwrite").parquet(os.path.join(index_dir, "docs")))
 
     def _job_postings():
-        # Posting-block encoding, skew-proof by (term, chunk) grouping.
-        tf_with_id = with_doc_id(tf_rows).select(
-            doc_id_col, "term", "tf", "dl"
-        ).withColumn("chunk", (F.col("doc_id") / chunk_size)
-                     .cast("long"))
+        # ONE shuffle, moving pre-encoded runs (~the index size, not
+        # the ~10× larger raw token rows), keyed DIRECTLY on the final
+        # physical layout: (term_bucket, term-hash file split) — both
+        # functions of term, so every (term, chunk) group lands whole
+        # in one partition AND each task writes into exactly one
+        # term_bucket directory slot.  The layout stays deterministic
+        # at any build parallelism: n_term_buckets dirs, ≤
+        # POSTINGS_FILES_PER_BUCKET files each (one per term-hash
+        # split) — enough files that head-term decode parallelizes,
+        # few enough that query-time listing is O(buckets).  Head-term
+        # skew is still bounded: runs are (term, chunk)-grouped, so a
+        # stopword-like term splits across chunks inside its partition
+        # and the re-encode handles each bounded group independently.
+        runs = run_rows.select("term", "first_doc_id", "last_doc_id",
+                               "n_docs", "deltas", "tfs", "dls")
+        split = F.abs(F.hash("term")) % POSTINGS_FILES_PER_BUCKET
         encoded = (
-            tf_with_id
-            .repartition(shuffle_partitions, "term", "chunk")
-            .sortWithinPartitions("term", "chunk", "doc_id")
+            runs.withColumn("_tb", term_bucket_expr(n_term_buckets))
+            .withColumn("_split", split)
+            .repartition(n_term_buckets * POSTINGS_FILES_PER_BUCKET,
+                         "_tb", "_split")
+            .drop("_tb", "_split")
+            .withColumn("chunk", (F.col("first_doc_id") / chunk_size)
+                        .cast("long"))
+            .sortWithinPartitions("term", "chunk", "first_doc_id")
             .mapInPandas(
-                _encode_iter(avgdl, k1, b, block_size, n_term_buckets),
+                _reencode_iter(avgdl, k1, b, block_size, n_term_buckets),
                 POSTINGS_SCHEMA_DDL)
         )
-        # final layout: term-sharded directories (partition pruning for
-        # query-time term lookups).  The encoded blocks are re-shuffled
-        # onto (term_bucket, term-hash split) before the write so each
-        # bucket directory holds exactly POSTINGS_FILES_PER_BUCKET
-        # files — without this every encoder task writes a file into
-        # every bucket it touches (tasks × n_term_buckets small files:
-        # query-time listing cost grows with build parallelism), while
-        # ONE file per bucket would serialize query-time decode to one
-        # task per bucket (a 3 MB single-row-group file is unsplittable).
-        # The fixed term-keyed split keeps file count AND decode
-        # parallelism deterministic at any build parallelism.  This
-        # second exchange moves only the compressed blocks (~the index
-        # size, a small fraction of the tf rows the first shuffle
-        # carried); rows are term-sorted inside each file so row-group
-        # min-max pruning still works.
-        split = F.abs(F.hash("term")) % POSTINGS_FILES_PER_BUCKET
+        # rows term-sorted inside each file so row-group min-max
+        # pruning works at query time (the re-encode emits carried
+        # groups out of order, so one in-partition sort re-establishes
+        # it — no exchange)
         (encoded
-         .withColumn("_split", split)
-         .repartition(n_term_buckets * POSTINGS_FILES_PER_BUCKET,
-                      "term_bucket", "_split")
          .sortWithinPartitions("term", "first_doc_id")
-         .drop("_split")
          .write.mode("overwrite").partitionBy("term_bucket")
          .parquet(os.path.join(index_dir, "postings")))
 

@@ -43,15 +43,10 @@ B = 0.75
 _VB_MAX_BYTES = 10  # 63-bit values need at most 9, keep headroom
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Varbyte-encode a non-negative int64 array (vectorized).
-
-    7 payload bits per byte, little-endian groups, MSB set on all but
-    the final byte of each value.
-    """
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
+def _vb_bytes(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Core varbyte encoder: uint64 array → (byte stream as uint8
+    array, per-value byte counts).  7 payload bits per byte,
+    little-endian groups, MSB set on all but the final byte."""
     # number of 7-bit groups per value (at least 1)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -74,7 +69,40 @@ def vb_encode(values: np.ndarray) -> bytes:
         cont = (nbytes[sel] - 1) > j
         out[idx] = byte | (cont.astype(np.uint8) << 7)
         shifted[sel] >>= np.uint64(7)
-    return out.tobytes()
+    return out, nbytes
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a non-negative int64 array (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    return _vb_bytes(v)[0].tobytes()
+
+
+def vb_encode_many(values: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """Varbyte-encode MANY runs in one vectorized pass.
+
+    ``values`` is the concatenation of the runs' payloads, ``counts``
+    the per-run value counts.  One ``_vb_bytes`` call over the whole
+    array, then per-run byte slices — per-run python overhead is a
+    single ``bytes`` slice instead of a full numpy encode (the staging
+    pass emits ~10^5 runs per task; per-run numpy dispatch would cost
+    more than the byte work itself, the same dispatch-overhead math as
+    ``decode_blocks_batch`` below).
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b""] * counts.shape[0]
+    out, nbytes = _vb_bytes(v)
+    buf = out.tobytes()
+    run_ends = np.cumsum(counts)
+    byte_cum = np.concatenate([np.zeros(1, dtype=np.int64),
+                               np.cumsum(nbytes)])
+    b0 = byte_cum[run_ends - counts]
+    b1 = byte_cum[run_ends]
+    return [buf[s:e] for s, e in zip(b0.tolist(), b1.tolist())]
 
 
 def vb_decode(buf: bytes) -> np.ndarray:
@@ -126,6 +154,57 @@ def encode_term_run(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         out.append((int(d[0]), int(d[-1]), int(e - s),
                     vb_encode(gaps), vb_encode(t), vb_encode(l), mx))
     return out
+
+
+def encode_blocks_batch(doc_ids: np.ndarray, tfs: np.ndarray,
+                        dls: np.ndarray, group_counts: np.ndarray,
+                        avgdl: float, *, block_size: int = BLOCK_SIZE,
+                        k1: float = K1, b: float = B):
+    """Encode MANY (term, chunk) groups' postings into block rows in
+    one vectorized pass — the encode-side mirror of
+    ``decode_blocks_batch`` (per-group ``encode_term_run`` costs
+    ~100-500 µs of numpy dispatch per group; a full-index re-encode
+    has ~10^5-10^6 groups per task, so per-group encoding costs more
+    than the byte work itself — measured as ~160 core-seconds vs ~4
+    on the 973k-turn bench corpus).
+
+    ``doc_ids``/``tfs``/``dls`` are the concatenation of the groups'
+    postings (each group ascending by doc_id), ``group_counts`` the
+    per-group posting counts.  Returns
+    ``(block_group_idx, first_doc_id, last_doc_id, n_docs,
+    deltas, tfs, dls, max_tfnorm)`` where the binary columns are
+    lists of per-block ``bytes`` — byte-identical to running
+    ``encode_term_run`` per group (pinned by a unit test).
+    """
+    group_counts = np.asarray(group_counts, dtype=np.int64)
+    d = np.asarray(doc_ids, dtype=np.int64)
+    n = d.shape[0]
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, empty, empty, [], [], [], np.empty(0)
+    g_ends = np.cumsum(group_counts)
+    g_starts = g_ends - group_counts
+    nb_per_group = -(-group_counts // block_size)
+    total_blocks = int(nb_per_group.sum())
+    block_group = np.repeat(np.arange(group_counts.shape[0]),
+                            nb_per_group)
+    bg_cum = np.concatenate([np.zeros(1, dtype=np.int64),
+                             np.cumsum(nb_per_group)])
+    k = np.arange(total_blocks, dtype=np.int64) - bg_cum[block_group]
+    b_start = g_starts[block_group] + k * block_size
+    b_end = np.minimum(b_start + block_size, g_ends[block_group])
+    b_count = b_end - b_start
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    np.subtract(d[1:], d[:-1], out=gaps[1:])
+    gaps[b_start] = 0
+    tn = tfnorm(tfs, dls, avgdl, k1, b)
+    mx = np.maximum.reduceat(tn, b_start)
+    return (block_group, d[b_start], d[b_end - 1], b_count,
+            vb_encode_many(gaps, b_count),
+            vb_encode_many(np.asarray(tfs, dtype=np.int64), b_count),
+            vb_encode_many(np.asarray(dls, dtype=np.int64), b_count),
+            mx)
 
 
 def decode_block(first_doc_id: int, deltas: bytes, tfs: bytes,

@@ -162,3 +162,72 @@ class TestCodecProperties:
             assert np.array_equal(l, dls)
 
         roundtrip()
+
+
+class TestSegmentedEncode:
+    """vb_encode_many / encode_blocks_batch — the vectorized twins the
+    staging run emitter and the postings re-encoder use — must be
+    byte-identical to the per-run / per-group reference encoders."""
+
+    @given(st.lists(st.lists(st.integers(min_value=0,
+                                         max_value=2**62 - 1),
+                             min_size=1, max_size=20),
+                    min_size=1, max_size=30))
+    @settings(max_examples=60, deadline=None)
+    def test_vb_encode_many_matches_per_run(self, runs):
+        from moera_search_spark.postings import vb_encode_many
+
+        flat = np.array([v for r in runs for v in r], dtype=np.int64)
+        counts = np.array([len(r) for r in runs], dtype=np.int64)
+        got = vb_encode_many(flat, counts)
+        want = [vb_encode(np.array(r, dtype=np.int64)) for r in runs]
+        assert got == want
+
+    def test_vb_encode_many_empty(self):
+        from moera_search_spark.postings import vb_encode_many
+
+        assert vb_encode_many(np.empty(0, np.int64),
+                              np.empty(0, np.int64)) == []
+
+    @given(st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_encode_blocks_batch_matches_encode_term_run(self, data):
+        from moera_search_spark.postings import encode_blocks_batch
+
+        n_groups = data.draw(st.integers(min_value=1, max_value=8))
+        groups = []
+        for _ in range(n_groups):
+            n = data.draw(st.integers(min_value=1, max_value=300))
+            start = data.draw(st.integers(min_value=0,
+                                          max_value=10**9))
+            gaps = data.draw(st.lists(
+                st.integers(min_value=1, max_value=5000),
+                min_size=n - 1, max_size=n - 1))
+            docs = np.cumsum([start] + gaps).astype(np.int64)
+            tfs = np.array(data.draw(st.lists(
+                st.integers(min_value=1, max_value=50),
+                min_size=n, max_size=n)), dtype=np.int64)
+            dls = np.array(data.draw(st.lists(
+                st.integers(min_value=1, max_value=500),
+                min_size=n, max_size=n)), dtype=np.int64)
+            groups.append((docs, tfs, dls))
+        avgdl, bs = 37.5, 64
+        flat_d = np.concatenate([g[0] for g in groups])
+        flat_t = np.concatenate([g[1] for g in groups])
+        flat_l = np.concatenate([g[2] for g in groups])
+        counts = np.array([len(g[0]) for g in groups], dtype=np.int64)
+        (bg, first, last, n_docs, deltas, tfs_b, dls_b,
+         mx) = encode_blocks_batch(flat_d, flat_t, flat_l, counts,
+                                   avgdl, block_size=bs)
+        want = []
+        for gi, (docs, tfs, dls) in enumerate(groups):
+            for row in encode_term_run(docs, tfs, dls, avgdl,
+                                       block_size=bs):
+                want.append((gi,) + row)
+        got = list(zip(bg.tolist(), first.tolist(), last.tolist(),
+                       n_docs.tolist(), deltas, tfs_b, dls_b,
+                       mx.tolist()))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:7] == w[:7]
+            assert g[7] == w[7]   # exact float equality — same maxes

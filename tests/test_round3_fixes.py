@@ -356,3 +356,33 @@ class TestEnsureParallelism:
         target = spark.sparkContext.defaultParallelism
         df = spark.range(1000).repartition(target + 4, "id")
         assert ensure_parallelism(df, key="id") is df
+
+
+class TestTermBucketExprTwin:
+    """The JVM crc32 expression the postings layout shuffle keys on
+    must agree with the python term_bucket() the query path uses —
+    a mismatch would scatter a term_bucket directory's rows across
+    tasks (file-count blow-up) without failing any query."""
+
+    def test_matches_python_on_mixed_terms(self, spark):
+        from moera_search_spark.build import term_bucket, term_bucket_expr
+
+        terms = ["run", "queri", "систем", "données", "naïve", "x",
+                 "term1924", "ёлка", "a" * 300, "中文词", "mixé42_",
+                 "", "🙂emoji"]
+        df = spark.createDataFrame([(t,) for t in terms], "term string")
+        got = {r["term"]: r["tb"] for r in
+               df.select("term",
+                         term_bucket_expr(16).alias("tb")).collect()}
+        for t in terms:
+            assert got[t] == term_bucket(t, 16), t
+
+    def test_matches_across_bucket_counts(self, spark):
+        from moera_search_spark.build import term_bucket, term_bucket_expr
+
+        df = spark.createDataFrame([("stemm",), ("посад",)],
+                                   "term string")
+        for n in (1, 7, 16, 256):
+            got = df.select(term_bucket_expr(n).alias("tb")).collect()
+            assert [r["tb"] for r in got] == \
+                [term_bucket("stemm", n), term_bucket("посад", n)]
