@@ -126,30 +126,38 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
     build_index(spark, spark.read.parquet(warmup_path),
                 os.path.join(scratch, "warmup_idx"), n_buckets=16)
 
-    # Best-of-2 timed builds: single samples on this shared box land
-    # in contended windows often enough to invert scaling ratios
-    # (round-3 samples of the same code: 28 s and 139 s minutes
-    # apart); the min of two attempts, each behind a load-settle
-    # gate, is the engine's number rather than the neighbor's.
+    # Best-of-2 timed builds (3rd sample when the first two disagree
+    # by >25% — a contended pair would otherwise report the neighbor's
+    # number): single samples on this shared box land in contended
+    # windows often enough to invert scaling ratios (round-3 samples
+    # of the same code: 28 s and 139 s minutes apart).  Each attempt
+    # runs behind a load-settle gate; the min is the engine's number.
     tr = spark.read.parquet(transcripts_path)
     samples = []
     loads = []
-    for attempt in ("idx", "idx_b"):
+    attempts = ["idx", "idx_b", "idx_c"]
+    for i, attempt in enumerate(attempts):
+        if i == 2 and (abs(samples[0] - samples[1])
+                       / min(samples) <= 0.25):
+            break
         loads.append(round(settle(), 2))
         idx_dir = os.path.join(scratch, attempt)
         t0 = time.time()
         res = build_index(spark, tr, idx_dir,
                           n_buckets=max(2 * n_cpus, 64))
         samples.append(time.time() - t0)
-    # keep the FASTER attempt's directory — the indexes are
+    # keep the FASTEST attempt's directory — the indexes are
     # byte-identical (deterministic build), but the kept
     # build_metrics.parquet should describe the sample being reported
-    if samples[1] < samples[0]:
-        shutil.rmtree(os.path.join(scratch, "idx"), ignore_errors=True)
-        os.rename(os.path.join(scratch, "idx_b"),
+    best_i = samples.index(min(samples))
+    for i, attempt in enumerate(attempts[:len(samples)]):
+        if i == best_i:
+            continue
+        shutil.rmtree(os.path.join(scratch, attempt),
+                      ignore_errors=True)
+    if best_i != 0:
+        os.rename(os.path.join(scratch, attempts[best_i]),
                   os.path.join(scratch, "idx"))
-    else:
-        shutil.rmtree(os.path.join(scratch, "idx_b"), ignore_errors=True)
     idx_dir = os.path.join(scratch, "idx")
     build_sec = min(samples)
 

@@ -786,25 +786,6 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
          .write.mode("overwrite").partitionBy("term_bucket")
          .parquet(os.path.join(index_dir, "postings")))
 
-    jobs = [(stage, fn) for stage, fn in
-            (("stats", _job_stats), ("docs", _job_docs),
-             ("postings", _job_postings))
-            if -1 not in mf.done_partitions(index_dir, stage)]
-    if jobs:
-        from concurrent.futures import ThreadPoolExecutor
-
-        t0 = time.time()
-        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-            futures = [(stage, ex.submit(fn)) for stage, fn in jobs]
-            for stage, fut in futures:
-                fut.result()
-                mf.mark(index_dir, stage, [-1], "done")
-                mf.record_metrics(
-                    index_dir, run_id, stage,
-                    [(-1, "seconds", time.time() - t0)]
-                    + ([(-1, "n_docs", float(n_docs))]
-                       if stage == "stats" else []))
-
     # ---- stage 5: pseudo-chunk bound sidecar ----
     # Per (term, pc) max block bound at the PRUNING granularity G —
     # the metadata the pruned query path needs to pick seed chunks and
@@ -816,7 +797,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     # rather than the encode lineage, which would re-run the python
     # encoder.  Layout mirrors postings: term_bucket dirs for partition
     # pruning, term-sorted rows for row-group min-max pruning.
-    if -1 not in mf.done_partitions(index_dir, "pc_bounds"):
+    def _build_pc_bounds():
         t0 = time.time()
         G = int(config.get("pc_granularity", max(64, chunk_size // 32)))
         meta = spark.read.parquet(os.path.join(index_dir, "postings")) \
@@ -834,6 +815,38 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         mf.mark(index_dir, "pc_bounds", [-1], "done")
         mf.record_metrics(index_dir, run_id, "pc_bounds",
                           [(-1, "seconds", time.time() - t0)])
+
+    def _job_postings_with_sidecar():
+        # the sidecar chains onto the postings thread so it overlaps
+        # with the docs/stats jobs instead of running as a lone
+        # sequential stage after the whole concurrent group
+        _job_postings()
+        _build_pc_bounds()
+
+    jobs = [(stage, fn) for stage, fn in
+            (("stats", _job_stats), ("docs", _job_docs),
+             ("postings", _job_postings_with_sidecar))
+            if -1 not in mf.done_partitions(index_dir, stage)]
+    if jobs:
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            futures = [(stage, ex.submit(fn)) for stage, fn in jobs]
+            for stage, fut in futures:
+                fut.result()
+                mf.mark(index_dir, stage, [-1], "done")
+                mf.record_metrics(
+                    index_dir, run_id, stage,
+                    [(-1, "seconds", time.time() - t0)]
+                    + ([(-1, "n_docs", float(n_docs))]
+                       if stage == "stats" else []))
+
+    # crash-recovery path: a resume that finds 'postings' already done
+    # skips the concurrent group, but the sidecar may still be missing
+    # (crash between the postings write and the sidecar write)
+    if -1 not in mf.done_partitions(index_dir, "pc_bounds"):
+        _build_pc_bounds()
 
     total = time.time() - t_start
     # Bookkeeping for incremental maintenance (see incremental.py):
