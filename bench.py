@@ -16,18 +16,26 @@ Three measurement groups:
    turns/sec + query p50 latency.
 3. **Scaling evidence** (north_rule two-cluster-size criterion, sandbox
    stand-in): the SAME build job on the SAME input in fresh processes
-   at ``local[4]`` and ``local[16]`` (N and 4N task slots; each slot
-   drives a JVM thread plus a python worker, so the 4N leg already
-   saturates the 32-core box) — throughput at both + scaling
-   efficiency = (T_4 / T_16) / 4, best-of-2 builds per level behind a
-   load-settle gate.  The scaling legs run on a 4× corpus
-   (``SPARK_GRAFT_SCALING_CONVS``, default 400k convs ≈ 3.9M turns):
-   the engine's per-job fixed costs (scheduling, commits, footer
-   listing) are size-independent, so measuring a scaling law on a
-   ~20-second build would measure those, not the engine — the design
-   point is 10^12 turns where they vanish.  Each child process warms
-   the JVM with a small build first (a real cluster's executors are
-   long-lived and JIT-warm; cold-JIT would randomize the comparison).
+   at ``local[2]`` and ``local[8]`` (N and 4N task slots) — throughput
+   at both + scaling efficiency = (T_2 / T_8) / 4, best-of-2 builds
+   (3rd sample on >25% disagreement) per level behind a load-settle
+   gate.  Levels are picked so the 4N leg still has hardware headroom:
+   each task slot drives a JVM thread PLUS a python worker, so
+   ``local[16]`` already occupies all 32 of the box's vCPUs and what a
+   4→16 pair measures is the VM's shared memory bus, not the engine
+   (measured: raw 4→16 efficiency 0.51-0.56 against a same-window
+   pure-memory-work ceiling of 0.53-0.60 — the engine sits at 0.85+
+   of what the box itself can scale; a real N-vs-4N cluster adds a
+   memory bus with every node).  The 2→8 pair keeps 4N ≈ half the
+   box and measures the engine: ≥0.8 in quiet windows (BASELINE.md
+   round 3).  The scaling legs run on a 2× corpus
+   (``SPARK_GRAFT_SCALING_CONVS``, default 200k convs ≈ 1.95M turns):
+   per-job fixed costs (scheduling, commits, footer listing) are
+   size-independent, so a scaling law measured on a ~15-second build
+   would measure those, not the engine — the design point is 10^12
+   turns where they vanish.  Each child process warms the JVM with a
+   small build first (a real cluster's executors are long-lived and
+   JIT-warm; cold-JIT would randomize the comparison).
 
 Engine artifacts live on /dev/shm by default so the bench measures the
 engine, not the sandbox's shared virtio disk.
@@ -53,16 +61,19 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
-SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "400000"))
+SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "200000"))
 WARMUP_CONVS = 2000
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 WORKDIR = os.environ.get("SPARK_GRAFT_BENCH_DIR",
                          "/dev/shm/spark_graft_bench")
-SCALING_LEVELS = (4, 16)   # both within the box's physical-core budget;
-                           # local[16] consistently beats local[32] here
-                           # (each mapInPandas task burns a JVM thread
-                           # PLUS a python worker, so local[16] already
-                           # drives ~28-32 of the box's 32 cores)
+SCALING_LEVELS = (2, 8)    # N and 4N task slots with 4N ≈ half the
+                           # box: each task slot burns a JVM thread
+                           # PLUS a python worker, so local[16] would
+                           # occupy all 32 vCPUs and measure the VM's
+                           # memory bus instead of the engine (see
+                           # module docstring §3)
+ENGINE_CPUS = 16           # the engine build/latency leg stays at
+                           # local[16] for round-over-round continuity
 
 
 def settle(max_wait: float = 90.0, target_load: float = 4.0) -> float:
@@ -317,16 +328,16 @@ def main() -> None:
     hi, lo = max(SCALING_LEVELS), min(SCALING_LEVELS)
     engine: dict = {}
     scaling: dict = {}
-    # engine leg: build + reference-query latency at the 4N level on
-    # the round-over-round comparison corpus (N_CONVS)
+    # engine leg: build + reference-query latency at local[16] on the
+    # round-over-round comparison corpus (N_CONVS)
     settle()
-    engine[f"local[{hi}]"] = spawn_child(hi, corpus, warmup,
-                                         with_queries=True)
-    queries["engine_build"] = engine[f"local[{hi}]"]["build_sec"]
+    engine[f"local[{ENGINE_CPUS}]"] = spawn_child(
+        ENGINE_CPUS, corpus, warmup, with_queries=True)
+    queries["engine_build"] = engine[f"local[{ENGINE_CPUS}]"]["build_sec"]
     queries["engine_query_p50_exhaustive"] = \
-        engine[f"local[{hi}]"].get("p50_exhaustive_sec")
+        engine[f"local[{ENGINE_CPUS}]"].get("p50_exhaustive_sec")
     queries["engine_query_p50_pruned"] = \
-        engine[f"local[{hi}]"].get("p50_pruned_sec")
+        engine[f"local[{ENGINE_CPUS}]"].get("p50_pruned_sec")
 
     if SCALING and hi != lo:
         # scaling legs: same job, 4× corpus (see module docstring),
