@@ -386,3 +386,47 @@ class TestTermBucketExprTwin:
             got = df.select(term_bucket_expr(n).alias("tb")).collect()
             assert [r["tb"] for r in got] == \
                 [term_bucket("stemm", n), term_bucket("посад", n)]
+
+
+class TestIndexParallelismInvariance:
+    """The determinism contract: the same input yields the same index
+    CONTENT at any build parallelism and any bucketing — blocks are
+    canonical (term, chunk)-local regardless of how staging split the
+    work.  This is what makes resume byte-identical and the scaling
+    legs comparable (SCALE.md; verified at 973k docs old-vs-new
+    pipeline during round 3 — this pins it at test scale forever)."""
+
+    @staticmethod
+    def _canon(spark, idx_dir):
+        import pyspark.sql.functions as F
+
+        post = (spark.read.parquet(f"{idx_dir}/postings")
+                .select("term", "term_bucket", "first_doc_id",
+                        "last_doc_id", "n_docs",
+                        F.md5(F.hex("deltas")).alias("d"),
+                        F.md5(F.hex("tfs")).alias("t"),
+                        F.md5(F.hex("dls")).alias("l"),
+                        F.round("max_tfnorm", 10).alias("m")))
+        docs = (spark.read.parquet(f"{idx_dir}/docs")
+                .select("doc_id", "conv_id", "turn_idx", "dl"))
+        return (sorted(map(tuple, post.collect())),
+                sorted(map(tuple, docs.collect())))
+
+    def test_same_bytes_across_shuffle_partitions_and_buckets(
+            self, spark, corpus_df, tmp_path):
+        from moera_search_spark.build import build_index
+
+        variants = [
+            {"n_buckets": 4, "shuffle_partitions": 2},
+            {"n_buckets": 4, "shuffle_partitions": 8},
+            {"n_buckets": 16, "shuffle_partitions": 8},
+        ]
+        canons = []
+        for i, kw in enumerate(variants):
+            d = str(tmp_path / f"idx{i}")
+            build_index(spark, corpus_df, d, **kw)
+            canons.append(self._canon(spark, d))
+        assert canons[0] == canons[1], \
+            "index content varies with shuffle_partitions"
+        assert canons[0] == canons[2], \
+            "index content varies with bucket count"
