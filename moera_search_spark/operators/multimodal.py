@@ -15,7 +15,11 @@ needed, everything is pure numpy over Arrow batches in ``mapInPandas``:
 * audio — PCM16 RIFF/WAVE: chunk walk + sample decode + windowed RMS
   features.
 
-Compressed formats (JPEG/PNG/MP3/…) still need PIL/ffmpeg and keep the
+Compressed images decode natively too: baseline sequential JPEG has a
+from-scratch pure-numpy codec (``..jpeg`` — T.81 marker parse, any
+DHT/DQT, 4:2:0/4:2:2/4:4:4, restart intervals), so
+``decode_stub='jpeg'`` runs a REAL compressed round trip end-to-end.
+Formats still needing a library (progressive JPEG, PNG, MP3) keep the
 declared stub slot: ``decode_stub='fake'`` produces a deterministic
 fake feature vector; ``decode_stub='raise'`` raises
 NotImplementedError where the library decoder would plug in.
@@ -62,8 +66,8 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     _size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
     if bpp != 24 or comp != 0:
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP decodes natively; compressed "
-            "formats (JPEG/PNG) plug in PIL here")
+            "only uncompressed 24-bit BMP decodes here; baseline JPEG "
+            "has its own native codec (jpeg.py); PNG plugs in PIL")
     row = w * 3
     stride = row + ((-row) % 4)
     arr = np.frombuffer(buf, dtype=np.uint8, count=stride * h,
@@ -129,17 +133,41 @@ def synth_image(doc_id: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
-def image_payloads(spark, sf_dir):
+def decode_image(buf: bytes) -> np.ndarray:
+    """Format-dispatching image decode: BMP and baseline JPEG decode
+    natively (magic-byte sniff); anything else is the library slot."""
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:2] == b"\xff\xd8":
+        from ..jpeg import decode_jpeg
+        return decode_jpeg(buf)
+    raise NotImplementedError(
+        "unrecognized image format — PNG/WebP/progressive-JPEG plug "
+        "in PIL here (BMP + baseline JPEG decode natively)")
+
+
+def image_payloads(spark, sf_dir, fmt: str = "bmp"):
     """The image modality source: (doc_id, payload binary, mime) with
-    REAL BMP bytes, synthesized deterministically in an Arrow batch
-    pass (binary blobs cannot come from JVM expressions)."""
+    REAL image bytes, synthesized deterministically in an Arrow batch
+    pass (binary blobs cannot come from JVM expressions).  ``fmt`` is
+    'bmp' (lossless) or 'jpeg' (baseline 4:2:0 compressed via the
+    from-scratch T.81 encoder — the compressed-ingest test path)."""
     def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if fmt == "jpeg":
+            from ..jpeg import encode_jpeg
+
+            def enc(i):
+                return encode_jpeg(synth_image(i), quality=90,
+                                   subsampling="420")
+        else:
+            def enc(i):
+                return encode_bmp(synth_image(i))
         for pdf in pdf_iter:
             ids = pdf["doc_id"].values
             yield pd.DataFrame({
                 "doc_id": ids,
-                "payload": [encode_bmp(synth_image(int(i))) for i in ids],
-                "mime": "image/bmp"})
+                "payload": [enc(int(i)) for i in ids],
+                "mime": f"image/{fmt}"})
 
     return (_docs(spark, sf_dir).select("doc_id")
             .mapInPandas(gen, "doc_id long, payload binary, mime string"))
@@ -171,11 +199,12 @@ def decode_features_iter(decode_stub: str = "bmp"):
     """mapInPandas body: (doc_id, payload binary) → (doc_id, feature
     array<double>).
 
-    ``decode_stub='bmp'`` runs the REAL decode: BMP header parse →
-    pixel array → block-mean thumbnail → features, pure numpy.
-    ``'fake'`` keeps the deterministic byte-stripe stand-in (any
-    payload), ``'raise'`` marks the PIL/ffmpeg slot for compressed
-    formats."""
+    ``decode_stub='bmp'``/``'jpeg'`` run the REAL decode via the
+    magic-sniffing ``decode_image`` (BMP header parse or full T.81
+    baseline entropy decode) → block-mean thumbnail → features, pure
+    numpy.  ``'fake'`` keeps the deterministic byte-stripe stand-in
+    (any payload), ``'raise'`` marks the PIL/ffmpeg slot for the
+    remaining library formats."""
 
     def fake_decode(buf: bytes) -> np.ndarray:
         # deterministic fake: FEATURE_DIM means over byte stripes
@@ -192,8 +221,8 @@ def decode_features_iter(decode_stub: str = "bmp"):
                 raise NotImplementedError(
                     "compressed image/audio decode requires PIL/ffmpeg "
                     "— plug the decoder in here")
-            if decode_stub == "bmp":
-                feats = [image_features(decode_bmp(b))
+            if decode_stub in ("bmp", "jpeg"):
+                feats = [image_features(decode_image(b))
                          for b in pdf["payload"].values]
             else:
                 feats = [fake_decode(b if b is not None else b"")
@@ -209,10 +238,13 @@ def multimodal_decode_features(spark, sf_dir, decode_stub: str = "bmp"):
     """The decode / thumbnail / feature-extract stage: binary image →
     feature vector via Arrow-batched mapInPandas.  With the default
     ``'bmp'`` stub this is a real end-to-end image decode (see module
-    docstring); the payload source is ``image_payloads`` (real BMP
-    bytes)."""
-    src = image_payloads if decode_stub == "bmp" else binary_payloads
-    p = src(spark, sf_dir).select("doc_id", "payload")
+    docstring) over real BMP bytes; ``'jpeg'`` runs the same pipeline
+    over COMPRESSED payloads through the native T.81 codec."""
+    if decode_stub in ("bmp", "jpeg"):
+        p = image_payloads(spark, sf_dir, fmt=decode_stub)
+    else:
+        p = binary_payloads(spark, sf_dir)
+    p = p.select("doc_id", "payload")
     return p.mapInPandas(decode_features_iter(decode_stub),
                          "doc_id long, features array<double>")
 
