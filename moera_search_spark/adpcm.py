@@ -1,0 +1,146 @@
+"""IMA ADPCM audio codec (WAVE format tag 0x11), from scratch.
+
+Fills the compressed-audio slot of the multimodal decode stage the
+same way ``jpeg.py`` fills the compressed-image slot: round 2
+declared compressed audio an ffmpeg plug-in; this makes the 4:1
+IMA/DVI ADPCM format (IMA Digital Audio Focus Group spec, 1992; the
+`wFormatTag = 0x0011` WAVE mapping from the public Microsoft RIFF
+registry) decode natively in pure numpy/python, so a compressed
+audio payload column runs end-to-end with zero codec libraries.
+Perceptual codecs (MP3/AAC/Opus) remain the declared library slots.
+
+Algorithm (public spec): each 4-bit nibble indexes a step-size table;
+the reconstructed delta accumulates bitwise per the spec pseudocode
+(``step>>3`` plus ``step>>2``/``step>>1``/``step`` for magnitude bits
+0/1/2 — NOT the closed form ``(step*(2m+1))>>3``, whose truncation
+differs), signed by bit 3; the predictor saturates to int16, and the
+step index moves by a fixed per-nibble adjustment clamped to [0, 88].
+Mono blocks open with a 4-byte header (int16 predictor seed, uint8
+step index, pad) followed by nibble pairs, low nibble first.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int64)
+
+INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8,
+                        -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+BLOCK_ALIGN = 256           # bytes/block → 4 header + 252*2 samples
+SAMPLES_PER_BLOCK = 1 + (BLOCK_ALIGN - 4) * 2
+
+
+def _delta(step: int, nibble: int) -> int:
+    """Spec-pseudocode delta reconstruction (bitwise truncating
+    accumulation), signed by nibble bit 3."""
+    d = step >> 3
+    if nibble & 1:
+        d += step >> 2
+    if nibble & 2:
+        d += step >> 1
+    if nibble & 4:
+        d += step
+    return -d if nibble & 8 else d
+
+
+def _decode_nibbles(nibbles: np.ndarray, pred: int, index: int) -> list[int]:
+    """Decode a nibble sequence given the block's seed predictor and
+    step index; returns the reconstructed int16 samples."""
+    out = []
+    for n in nibbles:
+        pred += _delta(int(STEP_TABLE[index]), int(n))
+        pred = max(-32768, min(32767, pred))
+        out.append(pred)
+        index = max(0, min(88, index + int(INDEX_TABLE[n])))
+    return out
+
+
+def _encode_nibbles(samples: np.ndarray, pred: int, index: int) \
+        -> tuple[list[int], int, int]:
+    """Greedy spec encoder: pick the nibble whose reconstruction the
+    decoder will produce, tracking the same predictor/step state."""
+    nibs = []
+    for s in samples:
+        step = int(STEP_TABLE[index])
+        diff = int(s) - pred
+        n = 8 if diff < 0 else 0
+        diff = abs(diff)
+        mag = 0
+        for bit in (4, 2, 1):
+            if diff >= step:
+                mag |= bit
+                diff -= step
+            step >>= 1
+        n |= mag
+        pred += _delta(int(STEP_TABLE[index]), n)
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(INDEX_TABLE[n])))
+        nibs.append(n)
+    return nibs, pred, index
+
+
+def encode_adpcm_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float64 [-1, 1] mono → IMA ADPCM WAV bytes (format tag 0x11,
+    256-byte blocks, standard ``fact`` chunk with the sample count)."""
+    pcm = np.clip(np.round(np.clip(samples, -1.0, 1.0) * 32767.0),
+                  -32768, 32767).astype(np.int64)
+    n = len(pcm)
+    blocks = bytearray()
+    index = 0
+    for start in range(0, n, SAMPLES_PER_BLOCK):
+        chunk = pcm[start:start + SAMPLES_PER_BLOCK]
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, index, 0)
+        body = chunk[1:]
+        pad = (-len(body)) % 2
+        body = np.pad(body, (0, pad), mode="edge") if pad else body
+        nibs, pred, index = _encode_nibbles(body, pred, index)
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            blocks.append(lo | (hi << 4))
+        # header pads the final partial block to full align
+        blocks += b"\x00" * (BLOCK_ALIGN - 4 - len(nibs) // 2)
+    byte_rate = rate * BLOCK_ALIGN // SAMPLES_PER_BLOCK
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, byte_rate,
+                      BLOCK_ALIGN, 4, 2, SAMPLES_PER_BLOCK)
+    fact = struct.pack("<I", n)
+    out = b"RIFF" + struct.pack(
+        "<I", 4 + (8 + len(fmt)) + (8 + len(fact)) + (8 + len(blocks))) \
+        + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"fact" + struct.pack("<I", len(fact)) + fact
+    out += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return out
+
+
+def decode_adpcm_data(data: bytes, block_align: int, n_samples: int) \
+        -> np.ndarray:
+    """Decode the ``data`` chunk of a mono IMA ADPCM stream to float64
+    samples in [-1, 1]."""
+    out: list[int] = []
+    for start in range(0, len(data), block_align):
+        block = data[start:start + block_align]
+        if len(block) < 4:
+            break
+        pred, index, _pad = struct.unpack_from("<hBB", block, 0)
+        index = max(0, min(88, index))
+        out.append(pred)
+        packed = np.frombuffer(block, np.uint8, offset=4)
+        nibbles = np.empty(packed.size * 2, dtype=np.int64)
+        nibbles[0::2] = packed & 0x0F
+        nibbles[1::2] = packed >> 4
+        out.extend(_decode_nibbles(nibbles, int(pred), int(index)))
+    return np.array(out[:n_samples], dtype=np.float64) / 32767.0

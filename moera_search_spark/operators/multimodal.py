@@ -409,29 +409,42 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """Pure-numpy PCM16 WAV decode: chunk walk → float64 samples in
-    [-1, 1] + sample rate."""
+    """Pure-numpy WAV decode: chunk walk → float64 samples in [-1, 1]
+    + sample rate.  PCM16 (tag 1) and IMA ADPCM (tag 0x11, via the
+    from-scratch ``..adpcm`` codec) decode natively; perceptual
+    codecs (MP3/AAC) remain the ffmpeg plug-in slot."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     off = 12
-    rate, data = None, None
+    rate, data, fmt_tag = None, None, None
+    block_align, n_samples = None, None
     while off + 8 <= len(buf):
         cid = buf[off:off + 4]
         (clen,) = struct.unpack_from("<I", buf, off + 4)
         body = buf[off + 8: off + 8 + clen]
         if cid == b"fmt ":
-            fmt_tag, _ch, rate = struct.unpack_from("<HHI", body, 0)
-            if fmt_tag != 1:
+            fmt_tag, _ch, rate, _br, block_align = \
+                struct.unpack_from("<HHIIH", body, 0)
+            if fmt_tag not in (1, 0x11):
                 raise NotImplementedError(
-                    "only PCM wav decodes natively; compressed audio "
-                    "plugs in ffmpeg here")
+                    "PCM and IMA ADPCM wav decode natively; perceptual "
+                    "audio codecs (MP3/AAC) plug in ffmpeg here")
+        elif cid == b"fact":
+            (n_samples,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
-            data = np.frombuffer(body, dtype="<i2").astype(np.float64) \
-                / 32767.0
+            data = body
         off += 8 + clen + (clen % 2)
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    return data, rate
+    if fmt_tag == 0x11:
+        from ..adpcm import decode_adpcm_data
+
+        if n_samples is None:
+            n_samples = (len(data) // block_align) * (
+                1 + (block_align - 4) * 2)
+        return decode_adpcm_data(data, block_align, n_samples), rate
+    return np.frombuffer(data, dtype="<i2").astype(np.float64) \
+        / 32767.0, rate
 
 
 def synth_audio(doc_id: int, n: int = 4000) -> np.ndarray:
@@ -452,15 +465,21 @@ def audio_features(samples: np.ndarray, windows: int = 8) -> np.ndarray:
         for i in range(windows)])
 
 
-def audio_window_features(spark, sf_dir):
+def audio_window_features(spark, sf_dir, codec: str = "pcm"):
     """(doc_id) → windowed RMS features via a real WAV decode per row,
-    Arrow-batched."""
+    Arrow-batched.  ``codec='adpcm'`` routes the payload through the
+    4:1-compressed IMA ADPCM encode→decode round trip instead of
+    PCM16 — the compressed-audio-ingest path."""
     def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "adpcm":
+            from ..adpcm import encode_adpcm_wav as enc
+        else:
+            enc = encode_wav
         for pdf in pdf_iter:
             ids = pdf["doc_id"].values
             feats = []
             for i in ids:
-                samples, _rate = decode_wav(encode_wav(synth_audio(int(i))))
+                samples, _rate = decode_wav(enc(synth_audio(int(i))))
                 feats.append(audio_features(samples).tolist())
             yield pd.DataFrame({"doc_id": ids, "features": feats})
 
