@@ -40,6 +40,24 @@ schema plus an ``op`` column (``upsert`` | ``delete``) and an optional
   delta batch is self-contained.
 * **Trigger.AvailableNow** drains the backlog and stops — the batch
   "tick" mode; leave ``available_now=False`` for a continuous stream.
+
+Two further Spark-native streaming shapes live here, over the events
+schema (the reference computes the same aggregates in scheduled batch
+jobs — Workload.java's periodic activity scoring; streaming makes
+them continuous, which is what a 100-TB event firehose needs):
+
+* ``stream_windowed_activity`` — watermarked tumbling-window
+  aggregation with bounded state: late rows inside the watermark
+  still land in their window, rows later than the watermark are
+  dropped, and append mode emits each window exactly once when it
+  closes.
+* ``stream_sessionize`` — gap-based sessionization as a CUSTOM
+  stateful operator via ``applyInPandasWithState`` (per-user open
+  session carried in typed GroupState, closed by in-batch gaps or by
+  event-time timeout when the watermark passes last_ts + gap).
+  Sessionization cannot be expressed as a windowed agg — the window
+  end depends on the data — so it is the canonical case for the
+  custom-state escape hatch.
 """
 
 from __future__ import annotations
@@ -48,6 +66,9 @@ from .incremental import KEYS, apply_updates
 
 CHANGELOG_DDL = ("conv_id string, turn_idx int, role string, text string, "
                  "tool string, ts timestamp, op string, seq long")
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
 
 
 def stream_updates(spark, index_dir: str, changelog_dir: str, *,
@@ -103,3 +124,164 @@ def stream_updates(spark, index_dir: str, changelog_dir: str, *,
     if available_now:
         query.awaitTermination(timeout_sec)
     return query
+
+
+def stream_windowed_activity(spark, events_dir: str, *,
+                             checkpoint_dir: str, out_dir: str,
+                             window: str = "1 hour",
+                             watermark: str = "30 minutes",
+                             max_files_per_trigger: int | None = None,
+                             available_now: bool = True,
+                             timeout_sec: float | None = None):
+    """Watermarked tumbling-window activity rollup over an events
+    stream: per (window, user_id) event count + value sum, emitted in
+    APPEND mode — each window exactly once, when the watermark passes
+    its end.
+
+    This is the continuous form of the reference's scheduled activity
+    scoring (Workload.java runs the same counts as periodic batch
+    jobs; ``agg_node_activity`` is our batch twin).  The watermark is
+    what makes it a 100-TB operator: state is bounded to open windows
+    only, late rows inside the watermark still reach their window,
+    and rows later than that are dropped instead of growing state
+    forever.  Output lands as parquet so downstream batch jobs (index
+    recompute, popularity refresh) read it like any other table.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+        reader = reader.option("latestFirst", "false")
+    events = reader.parquet(events_dir)
+    agg = (events
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("win"), "user_id")
+           .agg(F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"))
+           .select(F.col("win.start").alias("win_start"),
+                   F.col("win.end").alias("win_end"),
+                   "user_id", "n_events", "sum_value"))
+    writer = (agg.writeStream.outputMode("append")
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination(timeout_sec)
+    return query
+
+
+SESSION_OUT_DDL = ("user_id long, session_start timestamp, "
+                   "session_end timestamp, n_events long, "
+                   "sum_value double")
+_SESSION_STATE_DDL = "start long, last long, n long, sv double"
+
+
+def stream_sessionize(spark, events_dir: str, *,
+                      checkpoint_dir: str, out_dir: str,
+                      gap: str = "30 minutes",
+                      watermark: str = "30 minutes",
+                      max_files_per_trigger: int | None = None,
+                      available_now: bool = True,
+                      timeout_sec: float | None = None):
+    """Gap-based sessionization as a custom stateful streaming
+    operator (``applyInPandasWithState``): consecutive events of one
+    user belong to one session while inter-event gaps stay under
+    ``gap``; a session closes when a larger gap appears in-batch, or
+    by EVENT-TIME TIMEOUT when the watermark passes its last event
+    plus the gap (so sessions straddling micro-batches close exactly
+    once, without ever scanning global state).
+
+    The open session per user is four scalars of GroupState
+    (start/last epoch-micros, count, value sum) — state size is
+    O(active users), independent of history length, which is the
+    property that lets this run forever on a firehose.  Training-data
+    relevance: this same shape assembles interaction logs into
+    conversations/episodes when the raw feed has no conversation ids.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_us = _duration_us(gap)
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [n], "sum_value": [sv]})
+            return
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        ts_us = rows["ts"].astype("int64") // 1000 \
+            if rows["ts"].dtype.kind == "M" else rows["ts"].astype("int64")
+        vals = rows["value"].astype(float).values
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None
+        closed = []
+        for t, v in zip(ts_us.values, vals):
+            if start is None:
+                start, last, n, sv = int(t), int(t), 1, float(v)
+            elif int(t) - last > gap_us:
+                closed.append((start, last, n, sv))
+                start, last, n, sv = int(t), int(t), 1, float(v)
+            else:
+                last, n, sv = int(t), n + 1, sv + float(v)
+        state.update((start, last, n, sv))
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": user_id,
+                "session_start": [pd.Timestamp(s, unit="us")
+                                  for s, _, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us")
+                                for _, e, _, _ in closed],
+                "n_events": [n_ for _, _, n_, _ in closed],
+                "sum_value": [v_ for _, _, _, v_ in closed]})
+
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+        reader = reader.option("latestFirst", "false")
+    events = reader.parquet(events_dir)
+    sessions = (events
+                .withWatermark("ts", watermark)
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    fn, SESSION_OUT_DDL, _SESSION_STATE_DDL,
+                    "append", GroupStateTimeout.EventTimeTimeout))
+    writer = (sessions.writeStream.outputMode("append")
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination(timeout_sec)
+    return query
+
+
+def _duration_us(text: str) -> int:
+    """'30 minutes' / '1 hour' / '90 seconds' → microseconds."""
+    qty, unit = text.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400,
+            "days": 86400}[unit]
+    return int(float(qty) * mult * 1_000_000)

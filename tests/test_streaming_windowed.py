@@ -1,0 +1,178 @@
+"""Watermarked windowed aggregation + applyInPandasWithState
+sessionization (streaming.py).
+
+Determinism comes from the file source: one parquet file per
+micro-batch (``maxFilesPerTrigger=1``, ``latestFirst=false``, files
+named in lexical order), so the watermark after each batch — max
+event time seen minus the delay — is exactly known, and every
+emit/drop decision below is forced by the spec:
+
+* append-mode windows emit exactly once, in the first batch whose
+  (previous-batch) watermark passes the window end;
+* rows older than the watermark are dropped, rows late but inside it
+  still reach their window;
+* sessions close in-batch on a gap, or by event-time timeout in the
+  first batch whose watermark passes last_event + gap.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from moera_search_spark.streaming import (
+    stream_sessionize,
+    stream_windowed_activity,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 3, 1, h, m)
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts, user_id, value) — one file per call.  The
+    trailing sleep keeps modification times distinct so the file
+    source's oldest-first listing matches write order (ties would
+    scramble micro-batch order and with it the watermark sequence)."""
+    import time
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "value"])
+    pdf["event_type"] = "e"
+    pdf["props"] = "{}"
+    (spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value",
+             "props"]])
+        .coalesce(1).write.mode("append").parquet(path))
+    time.sleep(1.2)
+
+
+class TestWindowedActivity:
+    def test_watermark_emit_and_late_row_semantics(self, spark,
+                                                   tmp_path):
+        """Spark's documented watermark contract: a row later than the
+        watermark is guaranteed dropped once its window's state has
+        been evicted (eviction runs at batch end, with the watermark
+        fixed at batch start); a late row INSIDE the watermark still
+        reaches its open window; append mode emits each window exactly
+        once."""
+        src = str(tmp_path / "events")
+        # batch 0: two users in [10:00, 11:00), plus 12:50 so the
+        # NEXT batch runs with watermark 12:20
+        _write_events(spark, src, [
+            (1, _ts(10, 5), 1, 1.0),
+            (2, _ts(10, 10), 1, 2.0),
+            (3, _ts(10, 20), 2, 4.0),
+            (4, _ts(12, 50), 3, 8.0)])
+        # batch 1 (wm 12:20): late-but-inside row 12:30 merges into
+        # the open [12:00, 13:00) window; 14:00 advances wm to 13:30;
+        # the [10:00, 11:00) windows evict + emit at batch end
+        _write_events(spark, src, [
+            (6, _ts(12, 30), 3, 16.0),
+            (7, _ts(14, 0), 4, 32.0)])
+        # batch 2 (wm 13:30): row 10:15 is later than the watermark
+        # AND its window was already evicted → dropped, no duplicate
+        # emission; [12:00, 13:00) evicts + emits with both rows
+        _write_events(spark, src, [
+            (5, _ts(10, 15), 1, 100.0),
+            (8, _ts(15, 0), 5, 1.0)])
+        # batch 3: advances wm to 14:30 → [14:00, 15:00) emits;
+        # [15:00) / [16:00) stay open and must be absent
+        _write_events(spark, src, [(9, _ts(16, 0), 6, 1.0)])
+
+        out = str(tmp_path / "out")
+        q = stream_windowed_activity(
+            spark, src, checkpoint_dir=str(tmp_path / "ck"),
+            out_dir=out, window="1 hour", watermark="30 minutes",
+            max_files_per_trigger=1, timeout_sec=120)
+
+        got = {(r["win_start"].hour, r["user_id"]):
+               (r["n_events"], r["sum_value"])
+               for r in spark.read.parquet(out).collect()}
+        assert got == {
+            (10, 1): (2, 3.0),       # too-late row 5 NOT added
+            (10, 2): (1, 4.0),
+            (12, 3): (2, 24.0),      # late-but-inside row 6 added
+            (14, 4): (1, 32.0),
+        }
+        dropped = sum(so["numRowsDroppedByWatermark"]
+                      for p in q.recentProgress
+                      for so in p["stateOperators"])
+        assert dropped == 1          # exactly row 5
+
+    def test_plan_is_stateful_streaming_agg(self, spark, tmp_path):
+        # the rollup must be a streaming state-store aggregation, not
+        # a batch collect: assert the unresolved plan carries the
+        # watermark marker (EventTimeWatermark node)
+        src = str(tmp_path / "events")
+        _write_events(spark, src, [(1, _ts(10), 1, 1.0)])
+        from pyspark.sql import functions as F
+        events = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "event_type string, value double, "
+                          "props string")
+                  .parquet(src))
+        agg = (events.withWatermark("ts", "30 minutes")
+               .groupBy(F.window("ts", "1 hour"), "user_id").count())
+        assert "EventTimeWatermark" in str(agg._jdf.queryExecution()
+                                           .logical())
+
+
+class TestSessionize:
+    def test_gap_close_and_event_time_timeout(self, spark, tmp_path):
+        src = str(tmp_path / "events")
+        # batch 1 — user 1: 10:00, 10:10, then 11:30 (80 min gap →
+        # session closes IN-BATCH); user 2: a lone 10:00 event whose
+        # timeout lands at 10:30; post-batch watermark 11:00
+        _write_events(spark, src, [
+            (1, _ts(10, 0), 1, 1.0),
+            (2, _ts(10, 10), 1, 2.0),
+            (3, _ts(11, 30), 1, 4.0),
+            (4, _ts(10, 0), 2, 8.0)])
+        # batch 2 — user 1 at 13:00: 90 min from 11:30 → the open
+        # session closes by gap ACROSS batches; user 2 has no data
+        # and wm 11:00 > 10:30 → closes by EVENT-TIME TIMEOUT
+        _write_events(spark, src, [(5, _ts(13, 0), 1, 16.0)])
+        # batch 3 — an unrelated 16:00 event; the availableNow drain
+        # then runs a final empty flush batch with wm 15:30, which
+        # times out user 1's 13:00 session (timeout 13:30 < 15:30)
+        # while user 9's own session (timeout 16:30) stays open
+        _write_events(spark, src, [(6, _ts(16, 0), 9, 32.0)])
+
+        out = str(tmp_path / "out")
+        stream_sessionize(
+            spark, src, checkpoint_dir=str(tmp_path / "ck"),
+            out_dir=out, gap="30 minutes", watermark="30 minutes",
+            max_files_per_trigger=1, timeout_sec=120)
+
+        rows = spark.read.parquet(out).collect()
+        got = {(r["user_id"], r["session_start"].strftime("%H:%M")):
+               (r["session_end"].strftime("%H:%M"), r["n_events"],
+                r["sum_value"]) for r in rows}
+        assert got == {
+            (1, "10:00"): ("10:10", 2, 3.0),   # in-batch gap close
+            (1, "11:30"): ("11:30", 1, 4.0),   # cross-batch gap close
+            (2, "10:00"): ("10:00", 1, 8.0),   # event-time timeout
+            (1, "13:00"): ("13:00", 1, 16.0),  # flush-batch timeout
+        }
+        assert len(rows) == 4                  # user 9 still open
+
+    def test_single_batch_multi_session_split(self, spark, tmp_path):
+        # three sessions of one user inside ONE micro-batch: the two
+        # closed by in-batch gaps emit; the trailing one stays open
+        src = str(tmp_path / "events")
+        _write_events(spark, src, [
+            (1, _ts(8, 0), 7, 1.0), (2, _ts(8, 5), 7, 1.0),
+            (3, _ts(9, 0), 7, 1.0),
+            (4, _ts(10, 30), 7, 1.0), (5, _ts(10, 40), 7, 1.0)])
+        out = str(tmp_path / "out")
+        stream_sessionize(
+            spark, src, checkpoint_dir=str(tmp_path / "ck"),
+            out_dir=out, gap="30 minutes", watermark="10 minutes",
+            timeout_sec=120)
+        got = sorted((r["session_start"].hour, r["n_events"])
+                     for r in spark.read.parquet(out).collect())
+        assert got == [(8, 2), (9, 1)]
