@@ -162,3 +162,32 @@ class TestSparkCompressedAudio:
             # lossy but close to the uncompressed feature vector
             pcm, _ = decode_wav(encode_wav(synth_audio(int(doc_id))))
             assert np.allclose(exp, audio_features(pcm), rtol=0.05)
+
+
+class TestPropertyFuzz:
+    """Hypothesis-driven: any signal round-trips with exact length;
+    any nibble stream decodes identically under the closed module
+    decoder and the independent bitwise reference."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 1200), st.integers(0, 2**31))
+    def test_any_signal_roundtrips(self, n, seed):
+        rng = np.random.RandomState(seed % 2**32)
+        s = np.clip(rng.randn(n) * 0.3, -1, 1)
+        out, _ = decode_wav(encode_adpcm_wav(s))
+        assert len(out) == n
+        # predictor saturates at int16 min → magnitude ≤ 32768/32767
+        assert np.abs(out).max() <= 32768.0 / 32767.0
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(0, 15), min_size=1, max_size=120),
+           st.integers(-32768, 32767), st.integers(0, 88))
+    def test_decoder_matches_reference_on_any_stream(self, nibbles,
+                                                     pred, index):
+        got = decode_adpcm_data(_block(pred, index, nibbles),
+                                BLOCK_ALIGN, 1 + len(nibbles))
+        exp = [pred] + _ref_decode(nibbles, pred, index)
+        assert np.allclose(got * 32767.0, exp)

@@ -226,3 +226,28 @@ class TestSparkCompressedPipeline:
                       subsampling="420")
             exp = image_features(decode_image(buf))
             assert np.allclose(by_id[doc_id], exp, atol=1e-12)
+
+
+class TestPropertyFuzz:
+    """Hypothesis-driven: ANY small RGB image must round-trip without
+    exceptions, with exact dimensions and bounded error (quantization
+    at q=90 keeps even noise images within a loose PSNR floor on the
+    luma channel, where no subsampling loss applies)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**31),
+           st.sampled_from(["444", "420"]), st.integers(0, 3))
+    def test_any_image_roundtrips(self, h, w, seed, ss, ri):
+        rng = np.random.RandomState(seed % 2**32)
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=90, subsampling=ss,
+                                      restart_interval=ri))
+        assert got.shape == (h, w, 3)
+        lum = np.array([0.299, 0.587, 0.114])
+        y_in = img.astype(float) @ lum
+        y_out = got.astype(float) @ lum
+        mse = np.mean((y_in - y_out) ** 2)
+        assert mse < 800.0     # luma error bounded even for noise
