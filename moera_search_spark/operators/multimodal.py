@@ -15,14 +15,17 @@ needed, everything is pure numpy over Arrow batches in ``mapInPandas``:
 * audio — PCM16 RIFF/WAVE: chunk walk + sample decode + windowed RMS
   features.
 
-Compressed images decode natively too: baseline sequential JPEG has a
-from-scratch pure-numpy codec (``..jpeg`` — T.81 marker parse, any
-DHT/DQT, 4:2:0/4:2:2/4:4:4, restart intervals), so
-``decode_stub='jpeg'`` runs a REAL compressed round trip end-to-end.
-Formats still needing a library (progressive JPEG, PNG, MP3) keep the
-declared stub slot: ``decode_stub='fake'`` produces a deterministic
-fake feature vector; ``decode_stub='raise'`` raises
-NotImplementedError where the library decoder would plug in.
+Compressed images decode natively too, via from-scratch pure-numpy
+codecs: baseline sequential JPEG (``..jpeg`` — T.81 marker parse, any
+DHT/DQT, 4:2:0/4:2:2/4:4:4, restart intervals) and 8-bit PNG
+(``..png`` — zlib inflate + all five scanline filters; lossless, so
+the driver-checked decode entry runs over PNG with its full
+relational oracle).  ``decode_stub='jpeg'``/``'png'`` run REAL
+compressed round trips end-to-end.  Formats still needing a library
+(progressive JPEG, palette/16-bit PNG, MP3/AAC) keep the declared
+stub slot: ``decode_stub='fake'`` produces a deterministic fake
+feature vector; ``decode_stub='raise'`` raises NotImplementedError
+where the library decoder would plug in.
 """
 
 from __future__ import annotations
@@ -134,24 +137,29 @@ def synth_image(doc_id: int) -> np.ndarray:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Format-dispatching image decode: BMP and baseline JPEG decode
-    natively (magic-byte sniff); anything else is the library slot."""
+    """Format-dispatching image decode: BMP, baseline JPEG and 8-bit
+    PNG decode natively (magic-byte sniff); anything else is the
+    library slot."""
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:2] == b"\xff\xd8":
         from ..jpeg import decode_jpeg
         return decode_jpeg(buf)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..png import decode_png
+        return decode_png(buf)
     raise NotImplementedError(
-        "unrecognized image format — PNG/WebP/progressive-JPEG plug "
-        "in PIL here (BMP + baseline JPEG decode natively)")
+        "unrecognized image format — WebP/progressive-JPEG plug in "
+        "PIL here (BMP, baseline JPEG and 8-bit PNG decode natively)")
 
 
 def image_payloads(spark, sf_dir, fmt: str = "bmp"):
     """The image modality source: (doc_id, payload binary, mime) with
     REAL image bytes, synthesized deterministically in an Arrow batch
     pass (binary blobs cannot come from JVM expressions).  ``fmt`` is
-    'bmp' (lossless) or 'jpeg' (baseline 4:2:0 compressed via the
-    from-scratch T.81 encoder — the compressed-ingest test path)."""
+    'bmp' (raw), 'png' (compressed LOSSLESS — zlib/filtered, decodes
+    back pixel-exact) or 'jpeg' (baseline 4:2:0 lossy via the
+    from-scratch T.81 encoder)."""
     def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if fmt == "jpeg":
             from ..jpeg import encode_jpeg
@@ -159,6 +167,11 @@ def image_payloads(spark, sf_dir, fmt: str = "bmp"):
             def enc(i):
                 return encode_jpeg(synth_image(i), quality=90,
                                    subsampling="420")
+        elif fmt == "png":
+            from ..png import encode_png
+
+            def enc(i):
+                return encode_png(synth_image(i))
         else:
             def enc(i):
                 return encode_bmp(synth_image(i))
@@ -221,7 +234,7 @@ def decode_features_iter(decode_stub: str = "bmp"):
                 raise NotImplementedError(
                     "compressed image/audio decode requires PIL/ffmpeg "
                     "— plug the decoder in here")
-            if decode_stub in ("bmp", "jpeg"):
+            if decode_stub in ("bmp", "png", "jpeg"):
                 feats = [image_features(decode_image(b))
                          for b in pdf["payload"].values]
             else:
@@ -238,9 +251,11 @@ def multimodal_decode_features(spark, sf_dir, decode_stub: str = "bmp"):
     """The decode / thumbnail / feature-extract stage: binary image →
     feature vector via Arrow-batched mapInPandas.  With the default
     ``'bmp'`` stub this is a real end-to-end image decode (see module
-    docstring) over real BMP bytes; ``'jpeg'`` runs the same pipeline
-    over COMPRESSED payloads through the native T.81 codec."""
-    if decode_stub in ("bmp", "jpeg"):
+    docstring) over real BMP bytes; ``'png'`` / ``'jpeg'`` run the
+    same pipeline over COMPRESSED payloads through the native codecs
+    (PNG losslessly — features identical to the BMP path bit for
+    bit; JPEG lossy 4:2:0)."""
+    if decode_stub in ("bmp", "png", "jpeg"):
         p = image_payloads(spark, sf_dir, fmt=decode_stub)
     else:
         p = binary_payloads(spark, sf_dir)
@@ -251,16 +266,20 @@ def multimodal_decode_features(spark, sf_dir, decode_stub: str = "bmp"):
 
 def multimodal_decode_features_hashable(spark, sf_dir):
     """Driver-checkable twin of ``multimodal_decode_features``: the
-    SAME real BMP decode → thumbnail → feature pipeline, with the
-    feature vector emitted as ONE hashable column — each dimension
-    e6-rounded and comma-joined into a string.  The correctness
-    harness canonicalizes results via pandas ``sort_values`` over all
-    columns, which cannot hash ``array<double>`` cells (round-2 driver
-    row errored on exactly that); scalar columns keep the row checked.
-    The raw-array variant stays for pytest value verification."""
+    real decode → thumbnail → feature pipeline over COMPRESSED PNG
+    payloads (round 3: PNG's losslessness means the zlib-inflate +
+    filter-reconstruction path yields bit-identical features to the
+    BMP decode, so the same relational oracle verifies a real
+    compressed decode cross-engine), with the feature vector emitted
+    as ONE hashable column — each dimension e6-rounded and
+    comma-joined into a string.  The correctness harness canonicalizes
+    results via pandas ``sort_values`` over all columns, which cannot
+    hash ``array<double>`` cells (round-2 driver row errored on
+    exactly that); scalar columns keep the row checked.  The raw-array
+    variant stays for pytest value verification."""
     from pyspark.sql import functions as F
 
-    raw = multimodal_decode_features(spark, sf_dir)
+    raw = multimodal_decode_features(spark, sf_dir, decode_stub="png")
     return raw.select(
         "doc_id",
         F.array_join(
