@@ -176,3 +176,98 @@ class TestSessionize:
         got = sorted((r["session_start"].hour, r["n_events"])
                      for r in spark.read.parquet(out).collect())
         assert got == [(8, 2), (9, 1)]
+
+
+class TestRealDataDuckDBParity:
+    """The two streaming operators over the REAL sf0.01 events table
+    (10k events, 150 users, 30 days), checked against DuckDB batch
+    recomputes of the emit semantics.  The directory holds one parquet
+    file → one data micro-batch (watermark 0, so every in-batch gap
+    close emits) plus the availableNow flush batch whose watermark is
+    max(ts) − delay; what must emit is then a pure function of the
+    data:
+
+    * windows: every (window, user) group whose window end ≤ flush
+      watermark, with exact count/sum;
+    * sessions: every non-final session per user (closed by gap in
+      batch 0) plus final sessions whose last event + gap < flush
+      watermark (closed by event-time timeout).
+    """
+
+    EVENTS = "/root/testdata/sf0.01/events.parquet"
+
+    def test_windowed_rollup_matches_duckdb(self, spark, tmp_path):
+        import duckdb
+        import shutil
+
+        src = str(tmp_path / "events")
+        (tmp_path / "events").mkdir()
+        shutil.copy(self.EVENTS, src + "/part-0.parquet")
+        out = str(tmp_path / "out")
+        stream_windowed_activity(
+            spark, src, checkpoint_dir=str(tmp_path / "ck"),
+            out_dir=out, window="1 hour", watermark="1 hour",
+            timeout_sec=300)
+        got = {(r["win_start"], r["user_id"]):
+               (r["n_events"], round(r["sum_value"], 6))
+               for r in spark.read.parquet(out).collect()}
+        exp_rows = duckdb.sql(f"""
+            WITH wm AS (
+              SELECT max(ts) - INTERVAL 1 HOUR AS w
+              FROM read_parquet('{self.EVENTS}')
+            )
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+                   user_id, count(*) AS n, round(sum(value), 6) AS sv
+            FROM read_parquet('{self.EVENTS}'), wm
+            GROUP BY 1, 2, wm.w
+            HAVING win_start + INTERVAL 1 HOUR <= wm.w
+        """).fetchall()
+        exp = {(r[0], r[1]): (r[2], r[3]) for r in exp_rows}
+        assert len(exp) > 1000
+        assert got == exp
+
+    def test_sessionize_matches_duckdb(self, spark, tmp_path):
+        import duckdb
+        import shutil
+
+        src = str(tmp_path / "events")
+        (tmp_path / "events").mkdir()
+        shutil.copy(self.EVENTS, src + "/part-0.parquet")
+        out = str(tmp_path / "out")
+        stream_sessionize(
+            spark, src, checkpoint_dir=str(tmp_path / "ck"),
+            out_dir=out, gap="1 day", watermark="1 hour",
+            timeout_sec=300)
+        got = {(r["user_id"], r["session_start"]):
+               (r["session_end"], r["n_events"],
+                round(r["sum_value"], 6))
+               for r in spark.read.parquet(out).collect()}
+        exp_rows = duckdb.sql(f"""
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 1 DAY
+                          THEN 1 ELSE 0 END AS brk
+              FROM read_parquet('{self.EVENTS}')
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            ), sess AS (
+              SELECT user_id, min(ts) AS st, max(ts) AS en,
+                     count(*) AS n, round(sum(value), 6) AS sv
+              FROM s GROUP BY user_id, sid
+            ), wm AS (
+              SELECT max(ts) - INTERVAL 1 HOUR AS w
+              FROM read_parquet('{self.EVENTS}')
+            )
+            SELECT user_id, st, en, n, sv FROM sess, wm
+            WHERE en < (SELECT max(en) FROM sess s2
+                        WHERE s2.user_id = sess.user_id)
+               OR en + INTERVAL 1 DAY < wm.w
+        """).fetchall()
+        exp = {(r[0], r[1]): (r[2], r[3], r[4]) for r in exp_rows}
+        assert len(exp) > 300
+        assert got == exp
