@@ -70,7 +70,8 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     if bpp != 24 or comp != 0:
         raise NotImplementedError(
             "only uncompressed 24-bit BMP decodes here; baseline JPEG "
-            "has its own native codec (jpeg.py); PNG plugs in PIL")
+            "and 8-bit PNG have their own native codecs (jpeg.py, "
+            "png.py); other formats plug in PIL via decode_image")
     row = w * 3
     stride = row + ((-row) % 4)
     arr = np.frombuffer(buf, dtype=np.uint8, count=stride * h,
@@ -359,14 +360,20 @@ FROM gstats g JOIN quadw USING (doc_id)
 
 # ------------------------------------------------ video: frame sampling
 
-def encode_video(frames: list) -> bytes:
+def encode_video(frames: list, frame_fmt: str = "bmp") -> bytes:
     """Toy container for a frame sequence: 'VID0' + frame count +
-    length-prefixed BMP frames.  Stands in for a real container;
-    the per-frame payloads are real BMPs."""
+    length-prefixed image frames.  Stands in for a real container;
+    the per-frame payloads are real encoded images (``frame_fmt``
+    'bmp' or 'png' — the decode side sniffs per frame, so mixed
+    containers also work)."""
+    if frame_fmt == "png":
+        from ..png import encode_png as enc
+    else:
+        enc = encode_bmp
     out = bytearray(b"VID0")
     out += struct.pack("<I", len(frames))
     for fr in frames:
-        buf = encode_bmp(fr)
+        buf = enc(fr)
         out += struct.pack("<I", len(buf))
         out += buf
     return bytes(out)
@@ -383,8 +390,9 @@ def sample_video_features(buf: bytes, every: int = 4) -> np.ndarray:
     """Frame-sample + decode + per-frame features → temporal mean.
 
     The frame-sampling stage of a video training pipeline: parse the
-    container, decode every ``every``-th frame (a real BMP decode),
-    and mean-pool the per-frame feature vectors."""
+    container, decode every ``every``-th frame (a real image decode,
+    format-sniffed per frame), and mean-pool the per-frame feature
+    vectors."""
     if buf[:4] != b"VID0":
         raise ValueError("not a VID0 payload")
     (n,) = struct.unpack_from("<I", buf, 4)
@@ -394,7 +402,7 @@ def sample_video_features(buf: bytes, every: int = 4) -> np.ndarray:
         (flen,) = struct.unpack_from("<I", buf, off)
         off += 4
         if i % every == 0:
-            feats.append(image_features(decode_bmp(buf[off:off + flen])))
+            feats.append(image_features(decode_image(buf[off:off + flen])))
         off += flen
     return np.mean(feats, axis=0)
 

@@ -232,3 +232,36 @@ class TestDecodeFeaturesSqlOracle:
             want = ",".join(
                 str(int(np.floor(v * 1e6 + 0.5))) for v in f)
             assert got[doc_id] == want, doc_id
+
+
+class TestVideoCompressedFrames:
+    """The VID0 container is frame-format-agnostic: PNG frames decode
+    through the same sniffing dispatch, and PNG's losslessness makes
+    the sampled features identical to BMP frames."""
+
+    def test_png_frames_feature_identical(self):
+        from moera_search_spark.operators.multimodal import (
+            encode_video, sample_video_features, synth_video)
+
+        frames = synth_video(42)
+        bmp = sample_video_features(encode_video(frames, "bmp"))
+        png = sample_video_features(encode_video(frames, "png"))
+        assert np.array_equal(bmp, png)
+
+    def test_mixed_format_container(self):
+        import struct as _s
+        from moera_search_spark.operators.multimodal import (
+            encode_bmp, sample_video_features, synth_video)
+        from moera_search_spark.png import encode_png
+
+        frames = synth_video(7, n_frames=4)
+        out = bytearray(b"VID0") + _s.pack("<I", 4)
+        for i, fr in enumerate(frames):
+            buf = encode_png(fr) if i % 2 else encode_bmp(fr)
+            out += _s.pack("<I", len(buf)) + buf
+        got = sample_video_features(bytes(out), every=1)
+        exp = sample_video_features(
+            b"VID0" + _s.pack("<I", 4) + b"".join(
+                _s.pack("<I", len(b)) + b
+                for b in map(encode_bmp, frames)), every=1)
+        assert np.allclose(got, exp)
