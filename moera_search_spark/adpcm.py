@@ -129,7 +129,9 @@ def encode_adpcm_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 def decode_adpcm_data(data: bytes, block_align: int, n_samples: int) \
         -> np.ndarray:
     """Decode the ``data`` chunk of a mono IMA ADPCM stream to float64
-    samples in [-1, 1]."""
+    samples normalized by 1/32767 — nominally [-1, 1], but predictor
+    saturation at int16 min can reach -32768/32767 (the raw state-
+    machine values are kept bit-faithful rather than clipped)."""
     out: list[int] = []
     for start in range(0, len(data), block_align):
         block = data[start:start + block_align]

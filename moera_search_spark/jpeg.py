@@ -228,6 +228,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while i + 4 <= len(buf):
         if buf[i] != 0xFF:
             raise ValueError("marker expected")
+        # markers may be preceded by any number of 0xFF fill bytes
+        # (T.81 B.1.1.2)
+        while i + 4 <= len(buf) and buf[i + 1] == 0xFF:
+            i += 1
         marker = buf[i + 1]
         if marker == 0xD9:                 # EOI
             break
@@ -283,6 +287,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cid)
                 scan.append((comp, tabs >> 4, tabs & 15))
+            # non-interleaved scans (ns < frame components, or a
+            # single subsampled component) use per-component MCU
+            # geometry (T.81 A.2: MCU = one data unit) that the
+            # interleaved grid below would silently mis-decode
+            if len(scan) != len(frame["comps"]) or (
+                    len(scan) == 1
+                    and (scan[0][0]["h"], scan[0][0]["v"]) != (1, 1)):
+                raise NotImplementedError(
+                    "multi-scan / non-interleaved baseline JPEG — "
+                    "plug a library decoder in here (single fully-"
+                    "interleaved scans decode natively)")
             segs, i = _split_entropy(buf, i)
             return _decode_scan(frame, scan, qtables, htables,
                                 restart_interval, segs)

@@ -52,12 +52,13 @@ them continuous, which is what a 100-TB event firehose needs):
   dropped, and append mode emits each window exactly once when it
   closes.
 * ``stream_sessionize`` — gap-based sessionization as a CUSTOM
-  stateful operator via ``applyInPandasWithState`` (per-user open
-  session carried in typed GroupState, closed by in-batch gaps or by
-  event-time timeout when the watermark passes last_ts + gap).
-  Sessionization cannot be expressed as a windowed agg — the window
-  end depends on the data — so it is the canonical case for the
-  custom-state escape hatch.
+  stateful operator via ``applyInPandasWithState`` (per-user
+  un-emitted sessions carried in typed GroupState; a session emits
+  only when the watermark passes last_ts + gap, so late in-watermark
+  events always reach — or bridge — the right session, and emitted
+  sessions are final).  Sessionization cannot be expressed as a
+  windowed agg — the window end depends on the data — so it is the
+  canonical case for the custom-state escape hatch.
 """
 
 from __future__ import annotations
@@ -87,6 +88,11 @@ def stream_updates(spark, index_dir: str, changelog_dir: str, *,
     def handle(batch_df, batch_id: int) -> None:
         from pyspark.sql import Window
 
+        # one micro-batch feeds three actions (seq-presence counts,
+        # the upsert arm, the delete arm) — pin it so the source files
+        # aren't re-scanned and the collapse window re-run per action
+        batch_df = batch_df.persist()
+
         # Collapse to the final op per key (see module docstring).
         # The ordering key is seq when the micro-batch carries it, ts
         # otherwise — decided PER BATCH, never per row: a per-row
@@ -103,8 +109,10 @@ def stream_updates(spark, index_dir: str, changelog_dir: str, *,
                 f"changelog micro-batch {batch_id} mixes rows with and "
                 f"without seq ({n_seq}/{n} populated) — sequence "
                 "numbers must be all-or-nothing per batch")
-        seq = (F.col("seq").cast("double") if n_seq
-               else F.col("ts").cast("double"))
+        # order by the long seq directly — a double cast would lose
+        # precision above 2^53 (e.g. epoch_micros<<10 | counter seqs)
+        # and let distinct adjacent sequence numbers compare equal
+        seq = F.col("seq") if n_seq else F.col("ts").cast("double")
         w = Window.partitionBy(*KEYS).orderBy(
             seq.desc_nulls_last(), F.asc("op"))
         last = (batch_df.withColumn("_rn", F.row_number().over(w))
@@ -112,9 +120,13 @@ def stream_updates(spark, index_dir: str, changelog_dir: str, *,
         upserts = last.filter(F.col("op") == "upsert").drop("op", "seq")
         deletes = last.filter(F.col("op") == "delete") \
             .select(*KEYS)
-        apply_updates(spark, index_dir, upserts=upserts, deletes=deletes,
-                      batch_id=f"{batch_prefix}-{batch_id}",
-                      n_buckets=n_buckets)
+        try:
+            apply_updates(spark, index_dir, upserts=upserts,
+                          deletes=deletes,
+                          batch_id=f"{batch_prefix}-{batch_id}",
+                          n_buckets=n_buckets)
+        finally:
+            batch_df.unpersist()
 
     writer = (stream.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint_dir))
@@ -178,7 +190,8 @@ def stream_windowed_activity(spark, events_dir: str, *,
 SESSION_OUT_DDL = ("user_id long, session_start timestamp, "
                    "session_end timestamp, n_events long, "
                    "sum_value double")
-_SESSION_STATE_DDL = "start long, last long, n long, sv double"
+_SESSION_STATE_DDL = ("starts array<long>, lasts array<long>, "
+                      "ns array<long>, svs array<double>")
 
 
 def stream_sessionize(spark, events_dir: str, *,
@@ -191,17 +204,32 @@ def stream_sessionize(spark, events_dir: str, *,
     """Gap-based sessionization as a custom stateful streaming
     operator (``applyInPandasWithState``): consecutive events of one
     user belong to one session while inter-event gaps stay under
-    ``gap``; a session closes when a larger gap appears in-batch, or
-    by EVENT-TIME TIMEOUT when the watermark passes its last event
-    plus the gap (so sessions straddling micro-batches close exactly
-    once, without ever scanning global state).
+    ``gap``.
 
-    The open session per user is four scalars of GroupState
-    (start/last epoch-micros, count, value sum) — state size is
-    O(active users), independent of history length, which is the
-    property that lets this run forever on a firehose.  Training-data
-    relevance: this same shape assembles interaction logs into
-    conversations/episodes when the raw feed has no conversation ids.
+    Append semantics mirror the windowed aggregation's: a session is
+    emitted only once the WATERMARK passes its last event plus the
+    gap — never merely because a later event arrived — so late or
+    out-of-order events that are still inside the watermark always
+    reach the session they belong to, including merging two
+    provisionally-separate sessions the late event bridges.  GroupState
+    therefore holds the user's un-emitted sessions (parallel arrays of
+    start/last epoch-micros, count, value sum): each invocation folds
+    new events into that interval set (classic gap-tolerant interval
+    merge), emits every session whose ``last + gap <= watermark``, and
+    schedules an event-time timeout at the earliest remaining
+    ``last + gap`` so sessions also close without further traffic.
+    An event older than an ALREADY-emitted session's close would have
+    to be older than the watermark itself (emission requires
+    ``wm > last + gap``), and such rows are dropped before reaching
+    this operator — emitted sessions are final.
+
+    State size is O(active users × sessions-inside-one-watermark),
+    independent of history length, which is the property that lets
+    this run forever on a firehose.  Null event values count toward
+    ``n_events`` but add 0 to ``sum_value`` (matching ``F.sum``'s
+    null-skipping in the windowed twin).  Training-data relevance:
+    this same shape assembles interaction logs into episodes when the
+    raw feed has no conversation ids.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import (
@@ -213,46 +241,51 @@ def stream_sessionize(spark, events_dir: str, *,
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
-            start, last, n, sv = state.get
-            state.remove()
-            yield pd.DataFrame({
-                "user_id": [user_id],
-                "session_start": [pd.Timestamp(start, unit="us")],
-                "session_end": [pd.Timestamp(last, unit="us")],
-                "n_events": [n], "sum_value": [sv]})
-            return
-        chunks = [p for p in pdf_iter if len(p)]
-        if not chunks:
-            return
-        rows = pd.concat(chunks, ignore_index=True).sort_values("ts")
-        ts_us = rows["ts"].astype("int64") // 1000 \
-            if rows["ts"].dtype.kind == "M" else rows["ts"].astype("int64")
-        vals = rows["value"].astype(float).values
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sessions = []
         if state.exists:
-            start, last, n, sv = state.get
-        else:
-            start = last = None
-        closed = []
-        for t, v in zip(ts_us.values, vals):
-            if start is None:
-                start, last, n, sv = int(t), int(t), 1, float(v)
-            elif int(t) - last > gap_us:
-                closed.append((start, last, n, sv))
-                start, last, n, sv = int(t), int(t), 1, float(v)
-            else:
-                last, n, sv = int(t), n + 1, sv + float(v)
-        state.update((start, last, n, sv))
-        state.setTimeoutTimestamp((last + gap_us) // 1000)
-        if closed:
+            sessions = [list(s) for s in zip(*state.get)]
+        if not state.hasTimedOut:
+            chunks = [p for p in pdf_iter if len(p)]
+            if chunks:
+                rows = pd.concat(chunks, ignore_index=True)
+                ts_us = (rows["ts"].astype("int64") // 1000
+                         if rows["ts"].dtype.kind == "M"
+                         else rows["ts"].astype("int64"))
+                vals = rows["value"].fillna(0.0).astype(float).values
+                sessions += [[int(t), int(t), 1, float(v)]
+                             for t, v in zip(ts_us.values, vals)]
+                sessions.sort(key=lambda s: (s[0], s[1]))
+                merged: list[list] = []
+                for s in sessions:
+                    if merged and s[0] <= merged[-1][1] + gap_us:
+                        m = merged[-1]
+                        m[1] = max(m[1], s[1])
+                        m[2] += s[2]
+                        m[3] += s[3]
+                    else:
+                        merged.append(s)
+                sessions = merged
+        emit = [s for s in sessions if s[1] + gap_us <= wm_us]
+        keep = [s for s in sessions if s[1] + gap_us > wm_us]
+        if keep:
+            state.update(tuple([s[i] for s in keep] for i in range(4)))
+            # +1 ms: the floor division must not land the timeout at
+            # or before the current watermark (Spark rejects that);
+            # emission is decided by the wm comparison above anyway.
+            state.setTimeoutTimestamp(
+                (min(s[1] for s in keep) + gap_us) // 1000 + 1)
+        elif state.exists:
+            state.remove()
+        if emit:
             yield pd.DataFrame({
                 "user_id": user_id,
-                "session_start": [pd.Timestamp(s, unit="us")
-                                  for s, _, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="us")
-                                for _, e, _, _ in closed],
-                "n_events": [n_ for _, _, n_, _ in closed],
-                "sum_value": [v_ for _, _, _, v_ in closed]})
+                "session_start": [pd.Timestamp(s[0], unit="us")
+                                  for s in emit],
+                "session_end": [pd.Timestamp(s[1], unit="us")
+                                for s in emit],
+                "n_events": [s[2] for s in emit],
+                "sum_value": [s[3] for s in emit]})
 
     reader = spark.readStream.schema(EVENTS_DDL)
     if max_files_per_trigger is not None:

@@ -251,3 +251,46 @@ class TestPropertyFuzz:
         y_out = got.astype(float) @ lum
         mse = np.mean((y_in - y_out) ** 2)
         assert mse < 800.0     # luma error bounded even for noise
+
+
+class TestMarkerRobustness:
+    def test_fill_bytes_before_markers(self):
+        """T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        fill bytes; insert some before every segment of a valid stream
+        and require identical pixels."""
+        img = synth_image(7)
+        buf = encode_jpeg(img, quality=90)
+        base = decode_jpeg(buf)
+        # re-assemble with fill bytes before each marker (skip SOI,
+        # never touch entropy data: stop padding after SOS)
+        out = bytearray(buf[:2])
+        i = 2
+        while i < len(buf):
+            assert buf[i] == 0xFF
+            marker = buf[i + 1]
+            out += b"\xff\xff\xff"          # three fill bytes
+            (seglen,) = struct.unpack_from(">H", buf, i + 2)
+            out += buf[i: i + 2 + seglen]
+            i += 2 + seglen
+            if marker == 0xDA:              # entropy data follows
+                out += buf[i:]
+                break
+        got = decode_jpeg(bytes(out))
+        assert (got == base).all()
+
+    def test_non_interleaved_scan_raises(self):
+        """A scan covering fewer components than the frame (multi-scan
+        baseline) must refuse rather than silently mis-decode."""
+        out = bytearray(b"\xff\xd8")
+        _seg(out, 0xDB, bytes([0x00]) + bytes([8] * 64))
+        sof = struct.pack(">BHHB", 8, 8, 8, 3)
+        for cid, hv in ((1, 0x22), (2, 0x11), (3, 0x11)):
+            sof += struct.pack(">BBB", cid, hv, 0)
+        _seg(out, 0xC0, sof)
+        _seg(out, 0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0]))
+        _seg(out, 0xC4, bytes([0x10]) + bytes([1] + [0] * 15)
+             + bytes([0x00]))
+        _seg(out, 0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # Y-only scan
+        out += bytes([0x4F]) + b"\xff\xd9"
+        with pytest.raises(NotImplementedError, match="interleaved"):
+            decode_jpeg(bytes(out))

@@ -11,8 +11,10 @@ emit/drop decision below is forced by the spec:
   (previous-batch) watermark passes the window end;
 * rows older than the watermark are dropped, rows late but inside it
   still reach their window;
-* sessions close in-batch on a gap, or by event-time timeout in the
-  first batch whose watermark passes last_event + gap.
+* sessions emit only in the first batch whose watermark passes
+  last_event + gap (with data or by event-time timeout); until then
+  they are pending state that late in-watermark events can extend or
+  bridge.
 """
 
 from __future__ import annotations
@@ -123,23 +125,27 @@ class TestWindowedActivity:
 
 class TestSessionize:
     def test_gap_close_and_event_time_timeout(self, spark, tmp_path):
+        """Sessions emit only when the watermark passes last + gap:
+        alongside newer data for the same user (batch 1 emits user 1's
+        first session), by event-time timeout with no data (user 2 in
+        batch 1; user 1's later sessions in batch 2 and the flush
+        batch), and never while still inside the watermark (user 9)."""
         src = str(tmp_path / "events")
-        # batch 1 — user 1: 10:00, 10:10, then 11:30 (80 min gap →
-        # session closes IN-BATCH); user 2: a lone 10:00 event whose
-        # timeout lands at 10:30; post-batch watermark 11:00
+        # batch 0 (wm 0 — nothing can emit): user 1 accumulates
+        # pending sessions [10:00-10:10] and [11:30]; user 2 [10:00]
         _write_events(spark, src, [
             (1, _ts(10, 0), 1, 1.0),
             (2, _ts(10, 10), 1, 2.0),
             (3, _ts(11, 30), 1, 4.0),
             (4, _ts(10, 0), 2, 8.0)])
-        # batch 2 — user 1 at 13:00: 90 min from 11:30 → the open
-        # session closes by gap ACROSS batches; user 2 has no data
-        # and wm 11:00 > 10:30 → closes by EVENT-TIME TIMEOUT
+        # batch 1 (wm 11:00): user 1's new 13:00 event arrives and its
+        # [10:00-10:10] session emits with it (close 10:40 ≤ wm);
+        # user 2 has no data → timeout fires, [10:00] emits
         _write_events(spark, src, [(5, _ts(13, 0), 1, 16.0)])
-        # batch 3 — an unrelated 16:00 event; the availableNow drain
-        # then runs a final empty flush batch with wm 15:30, which
-        # times out user 1's 13:00 session (timeout 13:30 < 15:30)
-        # while user 9's own session (timeout 16:30) stays open
+        # batch 2 (wm 12:30): user 1 times out → [11:30] emits (close
+        # 12:00 ≤ wm), [13:00] kept; the flush batch (wm 15:30) then
+        # emits [13:00] (close 13:30 ≤ wm) while user 9's session
+        # (close 16:30) stays open
         _write_events(spark, src, [(6, _ts(16, 0), 9, 32.0)])
 
         out = str(tmp_path / "out")
@@ -153,16 +159,59 @@ class TestSessionize:
                (r["session_end"].strftime("%H:%M"), r["n_events"],
                 r["sum_value"]) for r in rows}
         assert got == {
-            (1, "10:00"): ("10:10", 2, 3.0),   # in-batch gap close
-            (1, "11:30"): ("11:30", 1, 4.0),   # cross-batch gap close
-            (2, "10:00"): ("10:00", 1, 8.0),   # event-time timeout
+            (1, "10:00"): ("10:10", 2, 3.0),   # emitted with batch-1 data
+            (1, "11:30"): ("11:30", 1, 4.0),   # batch-2 timeout
+            (2, "10:00"): ("10:00", 1, 8.0),   # batch-1 timeout
             (1, "13:00"): ("13:00", 1, 16.0),  # flush-batch timeout
         }
         assert len(rows) == 4                  # user 9 still open
 
+
+
+    def test_late_event_merges_and_bridges_pending_sessions(
+            self, spark, tmp_path):
+        """The review-found failure modes: a late-but-in-watermark
+        event must merge into the pending session it belongs to (not
+        regress its end or land in a newer session), and an event
+        falling between two provisionally-separate sessions must
+        bridge them into one.  Deferred emission makes both safe: no
+        session emits until the watermark passes its close."""
+        src = str(tmp_path / "events")
+        # batch 0 (max ts 10:00 -> wm during batch 1 is 6:00): user 1
+        # opens [10:00]; user 2 accumulates [9:00] and [9:40] (40-min
+        # gap -> provisionally two sessions)
+        _write_events(spark, src, [
+            (1, _ts(10, 0), 1, 1.0),
+            (2, _ts(9, 0), 2, 4.0),
+            (3, _ts(9, 40), 2, 8.0)])
+        # batch 1: late 10:10 extends user 1's session; late 9:20
+        # BRIDGES user 2's two sessions (9:20 <= 9:00+30 and
+        # 9:40 <= 9:20+30); 18:00 pushes the flush watermark to 14:00
+        _write_events(spark, src, [
+            (4, _ts(10, 10), 1, 2.0),
+            (5, _ts(9, 20), 2, 16.0),
+            (6, _ts(18, 0), 3, 1.0)])
+
+        out = str(tmp_path / "out")
+        stream_sessionize(
+            spark, src, checkpoint_dir=str(tmp_path / "ck"),
+            out_dir=out, gap="30 minutes", watermark="4 hours",
+            max_files_per_trigger=1, timeout_sec=120)
+
+        rows = spark.read.parquet(out).collect()
+        got = {(r["user_id"], r["session_start"].strftime("%H:%M")):
+               (r["session_end"].strftime("%H:%M"), r["n_events"],
+                r["sum_value"]) for r in rows}
+        assert got == {
+            (1, "10:00"): ("10:10", 2, 3.0),    # late event merged
+            (2, "09:00"): ("09:40", 3, 28.0),   # bridge -> ONE session
+        }
+        assert len(rows) == 2                   # user 3 still open
+
     def test_single_batch_multi_session_split(self, spark, tmp_path):
         # three sessions of one user inside ONE micro-batch: the two
-        # closed by in-batch gaps emit; the trailing one stays open
+        # whose close passes the flush watermark (10:30) emit; the
+        # trailing one stays open
         src = str(tmp_path / "events")
         _write_events(spark, src, [
             (1, _ts(8, 0), 7, 1.0), (2, _ts(8, 5), 7, 1.0),
@@ -189,9 +238,9 @@ class TestRealDataDuckDBParity:
 
     * windows: every (window, user) group whose window end ≤ flush
       watermark, with exact count/sum;
-    * sessions: every non-final session per user (closed by gap in
-      batch 0) plus final sessions whose last event + gap < flush
-      watermark (closed by event-time timeout).
+    * sessions: exactly those whose last event + gap ≤ flush
+      watermark (append semantics — a session emits only when the
+      watermark passes its close, by timeout or alongside new data).
     """
 
     EVENTS = "/root/testdata/sf0.01/events.parquet"
@@ -264,9 +313,7 @@ class TestRealDataDuckDBParity:
               FROM read_parquet('{self.EVENTS}')
             )
             SELECT user_id, st, en, n, sv FROM sess, wm
-            WHERE en < (SELECT max(en) FROM sess s2
-                        WHERE s2.user_id = sess.user_id)
-               OR en + INTERVAL 1 DAY < wm.w
+            WHERE en + INTERVAL 1 DAY <= wm.w
         """).fetchall()
         exp = {(r[0], r[1]): (r[2], r[3], r[4]) for r in exp_rows}
         assert len(exp) > 300
