@@ -87,16 +87,18 @@ def decode_png(buf: bytes) -> np.ndarray:
             pass
         elif ftype == 2:                     # Up
             line = (line.astype(np.int32) + prev) % 256
-        elif ftype in (1, 3, 4):             # Sub / Average / Paeth
+        elif ftype == 1:                     # Sub: per-channel cumsum
+            # rec[x] = Σ deltas mod 256 — a prefix sum per channel
+            line = (line.reshape(w, ch).astype(np.int64)
+                    .cumsum(axis=0) % 256).reshape(stride)
+        elif ftype in (3, 4):                # Average / Paeth
             # sequential in x (each pixel needs the reconstructed
             # left neighbour) but vectorized across channels
             rec = np.zeros(stride, np.int32)
             for x in range(0, stride, ch):
                 left = rec[x - ch: x] if x else np.zeros(ch, np.int32)
                 up = prev[x: x + ch].astype(np.int32)
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (left + up) // 2
                 else:
                     ul = (prev[x - ch: x].astype(np.int32)
