@@ -49,8 +49,11 @@ conveniences):
   only), staging write, term_stats (an agg over run METADATA — the
   per-run n_docs sums to df, no token rows are re-scanned), docs
   write (map-only — staging rows carry final doc_ids, so no join and
-  no shuffle), postings re-encode+write (ONE shuffle, keyed directly
-  on the final (term_bucket, file-split) layout); plus one
+  no shuffle), postings re-encode+write (a (term, chunk)-keyed
+  shuffle of compressed runs sized by shuffle_partitions — head-term
+  groups spread across ALL tasks — then a cheap exchange of the
+  encoded blocks onto the final (term_bucket, file-split) layout);
+  plus one
   metadata-only job deriving the ``pc_bounds`` pruning sidecar from
   the written postings metadata columns (bytes per block, not the
   payloads).  ``repartitionByRange`` is never used after staging
@@ -426,8 +429,7 @@ def _reencode_iter(avgdl: float, k1: float, b: float, block_size: int,
 
     Input: run rows sorted within partitions by (term, chunk,
     first_doc_id); every run of a (term, chunk) group is in the same
-    partition because the shuffle key (term_bucket, file split) is a
-    function of term.  Each batch is decoded in ONE vectorized pass
+    partition because the shuffle key IS the (term, chunk) group key.  Each batch is decoded in ONE vectorized pass
     (``decode_blocks_batch``) and the (term, chunk) groups — each the
     concatenation of disjoint ascending bucket runs — are re-encoded
     in ONE vectorized pass (``encode_blocks_batch``), yielding blocks
@@ -748,40 +750,47 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
          .write.mode("overwrite").parquet(os.path.join(index_dir, "docs")))
 
     def _job_postings():
-        # ONE shuffle, moving pre-encoded runs (~the index size, not
-        # the ~10× larger raw token rows), keyed DIRECTLY on the final
-        # physical layout: (term_bucket, term-hash file split) — both
-        # functions of term, so every (term, chunk) group lands whole
-        # in one partition AND each task writes into exactly one
-        # term_bucket directory slot.  The layout stays deterministic
-        # at any build parallelism: n_term_buckets dirs, ≤
-        # POSTINGS_FILES_PER_BUCKET files each (one per term-hash
-        # split) — enough files that head-term decode parallelizes,
-        # few enough that query-time listing is O(buckets).  Head-term
-        # skew is still bounded: runs are (term, chunk)-grouped, so a
-        # stopword-like term splits across chunks inside its partition
-        # and the re-encode handles each bounded group independently.
+        # Two exchanges, both moving compressed data (~the index size,
+        # never the ~10× larger raw token rows):
+        #
+        # 1. The EXPENSIVE re-encode shuffle is keyed on (term, chunk)
+        #    sized by shuffle_partitions — chunk varies within a term,
+        #    so a stopword-like head term (30% of a 10^12-doc corpus)
+        #    spreads its bounded (term, chunk) groups across ALL tasks
+        #    instead of melting one reducer, and decode+re-encode
+        #    parallelism scales with the cluster rather than being
+        #    capped at n_term_buckets × POSTINGS_FILES_PER_BUCKET.
+        #    Every run of a (term, chunk) group still lands whole in
+        #    one partition (the key is the group key).
+        # 2. A CHEAP exchange of the already-encoded blocks onto the
+        #    final physical layout (term_bucket, term-hash file split)
+        #    before the write, keeping the layout deterministic at any
+        #    parallelism: n_term_buckets dirs, ≤
+        #    POSTINGS_FILES_PER_BUCKET files each — enough files that
+        #    head-term decode parallelizes at query time, few enough
+        #    that listing is O(buckets).
         runs = run_rows.select("term", "first_doc_id", "last_doc_id",
                                "n_docs", "deltas", "tfs", "dls")
-        split = F.abs(F.hash("term")) % POSTINGS_FILES_PER_BUCKET
         encoded = (
-            runs.withColumn("_tb", term_bucket_expr(n_term_buckets))
-            .withColumn("_split", split)
-            .repartition(n_term_buckets * POSTINGS_FILES_PER_BUCKET,
-                         "_tb", "_split")
-            .drop("_tb", "_split")
-            .withColumn("chunk", (F.col("first_doc_id") / chunk_size)
-                        .cast("long"))
+            runs.withColumn("chunk", (F.col("first_doc_id") / chunk_size)
+                            .cast("long"))
+            .repartition(shuffle_partitions, "term", "chunk")
             .sortWithinPartitions("term", "chunk", "first_doc_id")
             .mapInPandas(
                 _reencode_iter(avgdl, k1, b, block_size, n_term_buckets),
                 POSTINGS_SCHEMA_DDL)
         )
         # rows term-sorted inside each file so row-group min-max
-        # pruning works at query time (the re-encode emits carried
-        # groups out of order, so one in-partition sort re-establishes
-        # it — no exchange)
+        # pruning works at query time; the in-partition sort after the
+        # layout exchange also re-establishes deterministic row order
+        # ((term, first_doc_id) is unique per block), so the written
+        # bytes stay invariant to build parallelism
+        split = F.abs(F.hash("term")) % POSTINGS_FILES_PER_BUCKET
         (encoded
+         .withColumn("_split", split)
+         .repartition(n_term_buckets * POSTINGS_FILES_PER_BUCKET,
+                      "term_bucket", "_split")
+         .drop("_split")
          .sortWithinPartitions("term", "first_doc_id")
          .write.mode("overwrite").partitionBy("term_bucket")
          .parquet(os.path.join(index_dir, "postings")))
