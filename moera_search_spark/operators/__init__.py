@@ -14,6 +14,7 @@ from __future__ import annotations
 def merged_queries() -> dict:
     from . import (
         dedup,
+        engine_serving,
         fulltext,
         incremental_ops,
         multimodal,
@@ -28,8 +29,9 @@ def merged_queries() -> dict:
     # ≤ 50 entries total so the driver's correctness window checks
     # EVERY catalog row (round 1 registered 58 and the last 8 were
     # never driver-verified); registration order is flagship-first.
-    for mod in (fulltext, incremental_ops, sinks, text_analysis,
-                multimodal, dedup, similarity, scalar_funcs, relational):
+    for mod in (fulltext, engine_serving, incremental_ops, sinks,
+                text_analysis, multimodal, dedup, similarity,
+                scalar_funcs, relational):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair

