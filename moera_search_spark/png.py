@@ -32,13 +32,13 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Paeth predictor, vectorized over a scanline (spec §6.6)."""
-    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a,
-                   np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (spec §6.6); int16 in, int16 out.
+    With p = a+b-c, |p-a| = |b-c|, |p-b| = |a-c|, |p-c| = |a+b-2c| —
+    p itself never needs materializing."""
+    pa, pb, pc = np.abs(b - c), np.abs(a - c), np.abs(a + b - 2 * c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c))
 
 
 def decode_png(buf: bytes) -> np.ndarray:
@@ -78,46 +78,108 @@ def decode_png(buf: bytes) -> np.ndarray:
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
     raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    for y in range(h):
-        ftype = raw[y, 0]
-        line = raw[y, 1:].copy()
-        if ftype == 0:                       # None
-            pass
-        elif ftype == 2:                     # Up
-            line = (line.astype(np.int32) + prev) % 256
-        elif ftype == 1:                     # Sub: per-channel cumsum
-            # rec[x] = Σ deltas mod 256 — a prefix sum per channel
-            line = (line.reshape(w, ch).astype(np.int64)
-                    .cumsum(axis=0) % 256).reshape(stride)
-        elif ftype in (3, 4):                # Average / Paeth
-            # sequential in x (each pixel needs the reconstructed
-            # left neighbour) but vectorized across channels
-            rec = np.zeros(stride, np.int32)
-            for x in range(0, stride, ch):
-                left = rec[x - ch: x] if x else np.zeros(ch, np.int32)
-                up = prev[x: x + ch].astype(np.int32)
-                if ftype == 3:
-                    pred = (left + up) // 2
-                else:
-                    ul = (prev[x - ch: x].astype(np.int32)
-                          if x else np.zeros(ch, np.int32))
-                    pred = _paeth(left.astype(np.uint8),
-                                  up.astype(np.uint8),
-                                  ul.astype(np.uint8)).astype(np.int32)
-                rec[x: x + ch] = (line[x: x + ch] + pred) % 256
-            line = rec
-        else:
-            raise ValueError(f"unknown filter type {ftype}")
-        out[y] = line.astype(np.uint8)
-        prev = out[y]
+    ftypes = raw[:, 0]
+    if ftypes.max(initial=0) > 4:
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"unknown filter type {bad}")
+    if not np.isin(ftypes, (3, 4)).any():
+        out = _defilter_rowwise(raw, w, ch)
+    else:
+        out = _defilter_wavefront(raw, w, ch)
     px = out.reshape(h, w, ch)
     if ch == 1:
         return np.repeat(px, 3, axis=2)
     if ch == 2:                              # grey + alpha
         return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3].copy()               # RGB / RGBA → RGB
+
+
+def _defilter_rowwise(raw: np.ndarray, w: int, ch: int) -> np.ndarray:
+    """Reconstruct scanlines using only None/Sub/Up filters — each row
+    is one vectorized expression (Sub is a per-channel prefix sum, Up
+    a wrapping uint8 add), so the Python loop is per ROW, not per
+    pixel."""
+    h = raw.shape[0]
+    stride = w * ch
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ftype = raw[y, 0]
+        line = raw[y, 1:]
+        if ftype == 0:                       # None
+            out[y] = line
+        elif ftype == 2:                     # Up: uint8 add wraps mod 256
+            out[y] = line + prev
+        else:                                # Sub: per-channel cumsum
+            out[y] = (line.reshape(w, ch).astype(np.int64)
+                      .cumsum(axis=0) % 256).reshape(stride)
+        prev = out[y]
+    return out
+
+
+def _defilter_wavefront(raw: np.ndarray, w: int, ch: int) -> np.ndarray:
+    """Exact anti-diagonal reconstruction for images containing
+    Average/Paeth scanlines.
+
+    Every filter's data dependence is confined to {left (y, x-1),
+    up (y-1, x), upper-left (y-1, x-1)}, so all pixels on an
+    anti-diagonal d = y + x depend only on diagonals d-1 and d-2:
+    the image reconstructs in h + w vectorized steps instead of h·w
+    per-pixel Python steps (the x-recurrence of Average/Paeth makes
+    per-row vectorization impossible, but the diagonal order is a
+    legal topological schedule of the same exact computation).
+    Channels ride along as a trailing vector dimension."""
+    h = raw.shape[0]
+    f = np.ascontiguousarray(
+        raw[:, 1:]).reshape(h * w, ch).astype(np.int16)
+    ftypes = raw[:, 0].astype(np.int64)
+    # rec is padded by one row (the spec's zero row above y=0) and one
+    # column (zero left/upper-left of x=0); in FLAT index space over
+    # the padded (h+1, w+1) grid, an anti-diagonal's cells sit at an
+    # arithmetic sequence of stride w — every gather/scatter below is
+    # a basic strided slice, no fancy-index copies
+    rec = np.zeros(((h + 1) * (w + 1), ch), np.int16)
+    # per-diagonal uniform-filter fast dispatch: a run of rows with
+    # one filter type (the overwhelmingly common encoder output)
+    # computes only that predictor
+    for d in range(h + w - 1):
+        lo = max(0, d - w + 1)
+        hi = min(h - 1, d)
+        n = hi - lo + 1
+        # cell (row r, col x=d-r) -> padded flat (r+1)*(w+1)+(x+1)
+        o = lo * w + d + 1
+        dst = rec[o + w + 1: o + w + 1 + n * w: w]
+        a = rec[o + w: o + w + n * w: w]          # left
+        b = rec[o: o + n * w: w]                  # up
+        if w > 1:   # unpadded flat (r, x=d-r) -> r*(w-1) + d, stride w-1
+            fo = lo * (w - 1) + d
+            fd = f[fo: fo + n * (w - 1): w - 1]
+        else:       # single column: one cell per diagonal
+            fd = f[d: d + 1]
+        ft = ftypes[lo:hi + 1]
+        t0 = ft[0]
+        if (ft == t0).all():
+            if t0 == 0:
+                np.copyto(dst, fd)
+                continue
+            if t0 == 1:
+                pred = a
+            elif t0 == 2:
+                pred = b
+            elif t0 == 3:
+                pred = (a + b) >> 1
+            else:
+                c = rec[o - 1: o - 1 + n * w: w]  # upper-left
+                pred = _paeth_pred(a, b, c)
+        else:
+            c = rec[o - 1: o - 1 + n * w: w]
+            ftc = ft[:, None]
+            pred = np.select(
+                [ftc == 1, ftc == 2, ftc == 3, ftc == 4],
+                [a, b, (a + b) >> 1, _paeth_pred(a, b, c)], default=0)
+        np.copyto(dst, (fd + pred) & 255)
+    return (rec.reshape(h + 1, w + 1, ch)[1:, 1:]
+            .reshape(h, w * ch).astype(np.uint8))
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
