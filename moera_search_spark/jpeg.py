@@ -31,6 +31,7 @@ library code consulted.
 
 from __future__ import annotations
 
+import array
 import struct
 
 import numpy as np
@@ -86,32 +87,6 @@ def _scale_qtable(base: np.ndarray, quality: int) -> np.ndarray:
 
 # ------------------------------------------------------------- bit I/O
 
-class _BitReader:
-    """MSB-first bit reader over one entropy-coded segment (already
-    de-stuffed: 0xFF00 → 0xFF handled by the caller)."""
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.bit = 0
-
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise EOFError("entropy segment exhausted")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
 class _BitWriter:
     """MSB-first bit writer with JPEG byte stuffing (0xFF → 0xFF 0x00)
     and 1-padding on flush."""
@@ -145,35 +120,68 @@ class _BitWriter:
 
 # -------------------------------------------------------- Huffman code
 
-def _canonical_codes(counts: list[int], symbols: list[int]) -> dict:
-    """BITS/HUFFVAL → {(length, code): symbol} (T.81 Annex C order)."""
-    table = {}
+# LUT cache keyed by the DHT payload (counts, symbols): real-world
+# JPEGs overwhelmingly ship the Annex K default tables, so across a
+# crawl the build cost amortizes to ~zero per image.
+_LUT_CACHE: dict[tuple, tuple] = {}
+_LUT_CACHE_MAX = 64
+
+
+def _huffman_lut(counts: list[int], symbols: list[int]) -> tuple:
+    """16-bit-peek decode LUTs replacing the per-bit tree walk
+    (T.81 F.2.2.3 DECODE / F.2.2.2 DECODE_AC vectorized ahead of
+    time).  Returns (len_lut, sym_lut, kadv_lut, tot_lut, val_lut):
+
+    * ``len_lut[peek]`` — code length in bits (0 = invalid prefix)
+    * ``sym_lut[peek]`` — decoded symbol
+    * AC fast path, valid when the code AND its SSSS value bits fit
+      the same 16-bit window: ``kadv_lut[peek]`` is run+1 (the k
+      advance; sentinels 255 = EOB, 254 = ZRL, 0 = fall back to
+      two-step decode), ``tot_lut[peek]`` the total bits consumed,
+      ``val_lut[peek]`` the already-EXTENDed coefficient value —
+      one lookup resolves symbol, run and signed value together.
+
+    Built vectorized over all 65536 windows from the canonical
+    BITS/HUFFVAL spec (Annex C code assignment)."""
+    key = (tuple(counts), tuple(symbols))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    len16 = np.zeros(65536, np.int64)
+    sym16 = np.zeros(65536, np.int64)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            len16[base: base + span] = length
+            sym16[base: base + span] = symbols[k]
             code += 1
             k += 1
         code <<= 1
-    return table
-
-
-def _decode_symbol(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in entropy stream")
-
-
-def _extend(v: int, s: int) -> int:
-    """T.81 EXTEND: map the s received bits to the signed value."""
-    if s == 0:
-        return 0
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+    peek = np.arange(65536, dtype=np.int64)
+    s = sym16 & 15
+    tot = len16 + s
+    normal = (len16 > 0) & (s > 0) & (tot <= 16)
+    tot_c = np.where(normal, tot, len16)
+    v = (peek >> np.where(normal, 16 - tot, 0)) & ((1 << s) - 1)
+    sm = np.maximum(s, 1)
+    ext = np.where(v >= (1 << (sm - 1)), v, v - (1 << sm) + 1)
+    kadv = np.where(normal, (sym16 >> 4) + 1, 0)
+    kadv[(len16 > 0) & (sym16 == 0)] = 255          # EOB
+    kadv[(len16 > 0) & (sym16 == 0xF0)] = 254       # ZRL
+    vals = array.array("h")
+    vals.frombytes(np.where(normal, ext, 0).astype(np.int16).tobytes())
+    out = (len16.astype(np.uint8).tobytes(),
+           sym16.astype(np.uint8).tobytes(),
+           kadv.astype(np.uint8).tobytes(),
+           tot_c.astype(np.uint8).tobytes(),
+           vals)
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
 
 
 def _category(v: int) -> int:
@@ -186,31 +194,37 @@ def _category(v: int) -> int:
 def _split_entropy(buf: bytes, start: int) -> tuple[list[bytes], int]:
     """Slice the entropy-coded data beginning at ``start`` into
     de-stuffed segments split at RSTn markers; return (segments,
-    offset of the terminating marker's 0xFF)."""
-    segs = []
-    cur = bytearray()
-    i = start
-    n = len(buf)
-    while i < n:
-        b = buf[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
-            break
-        m = buf[i + 1]
-        if m == 0x00:                      # stuffed 0xFF data byte
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:            # restart marker
-            segs.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:                              # real marker: scan ends
-            break
-    segs.append(bytes(cur))
-    return segs, i
+    offset of the terminating marker's 0xFF).  Vectorized: classify
+    every 0xFF once, drop stuffing/restart bytes with one boolean
+    mask, split at the restart positions."""
+    arr = np.frombuffer(buf, np.uint8, len(buf) - start, start)
+    ffs = np.flatnonzero(arr == 0xFF)
+    ffs = ffs[ffs + 1 < len(arr)]          # trailing lone 0xFF: drop
+    nxt = arr[ffs + 1]
+    stuffed = nxt == 0x00
+    rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    term = np.flatnonzero(~stuffed & ~rst)
+    if len(term):
+        end = int(ffs[term[0]])
+        keep_ff = ffs[:term[0]]
+        stuffed, rst = stuffed[:term[0]], rst[:term[0]]
+    else:
+        # no terminating marker: consume to the end (a trailing lone
+        # 0xFF, like the byte-loop it replaces, is left unread)
+        end = len(arr) if not len(arr) or arr[-1] != 0xFF \
+            else len(arr) - 1
+        keep_ff = ffs
+    drop = np.zeros(end, bool)
+    drop[keep_ff[stuffed] + 1] = True      # the 0x00 of a stuffed FF
+    rst_pos = keep_ff[rst]
+    drop[rst_pos] = True                   # both marker bytes
+    drop[rst_pos + 1] = True
+    data = arr[:end][~drop]
+    # split points in post-drop coordinates: bytes kept before each RST
+    cuts = (np.searchsorted(np.flatnonzero(~drop), rst_pos)
+            if len(rst_pos) else np.array([], np.int64))
+    segs = [s.tobytes() for s in np.split(data, cuts)]
+    return segs, start + end
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
@@ -259,7 +273,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 counts = list(body[p + 1: p + 17])
                 nsym = sum(counts)
                 symbols = list(body[p + 17: p + 17 + nsym])
-                htables[(tc, th)] = _canonical_codes(counts, symbols)
+                htables[(tc, th)] = _huffman_lut(counts, symbols)
                 p += 17 + nsym
         elif marker == 0xDD:               # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -305,61 +319,221 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     raise ValueError("no SOS marker found")
 
 
+def _decode_entropy(segs, tmpl_tabs, n_mcus, B, ri):
+    """Phase 1: the bit-serial Huffman pass — the only part of the
+    decoder that cannot vectorize (every symbol's position depends on
+    the previous symbol's length).  Cost per coefficient is one
+    Python-int peek + one combined-LUT lookup: ``kadv/tot/val`` LUTs
+    resolve (run, bits consumed, EXTENDed value) together whenever
+    code+value fit the 16-bit window (they almost always do); the
+    two-step fall-back handles the rest.  Returns (dc_diffs, ac_blk,
+    ac_k, ac_val) as plain Python lists (block and k packed as
+    blk << 6 | k so phase 2 converts ONE list per channel)."""
+    # 16 pad bytes: refills read up to 3 bytes ahead of consumption
+    # whenever fewer than 32 bits are buffered, so a valid stream can
+    # over-READ (never over-consume) past its last real byte
+    blob = b"".join(segs) + b"\x00" * 16
+    seg_ends = []
+    off = 0
+    for s in segs:
+        off += len(s)
+        seg_ends.append(off)
+    dc_diffs = []
+    ac_bk, ac_val = [], []        # (blk << 6 | k) packed, value
+    dda = dc_diffs.append
+    abk, ava = ac_bk.append, ac_val.append
+    pos = 0          # next unread byte in blob
+    cnt = 0          # bits buffered in buf
+    buf = 0
+    seg = 0
+    blk6 = 0         # current block index << 6
+    try:
+        for m in range(n_mcus):
+            if ri and m and m % ri == 0:
+                # segment boundary: verify the finished segment was not
+                # overrun, then restart the bit buffer at the next one
+                if (pos << 3) - cnt > (seg_ends[seg] << 3):
+                    raise EOFError("entropy segment exhausted")
+                seg += 1
+                if seg >= len(segs):
+                    raise EOFError("missing restart segment")
+                pos = seg_ends[seg - 1]
+                cnt = 0
+                buf = 0
+            for dlen, dsym, alen, asym, akadv, atot, aval in tmpl_tabs:
+                # ---- DC: code via LUT, value bits received inline
+                if cnt < 16:
+                    buf = (((buf & ((1 << cnt) - 1)) << 24)
+                           | (blob[pos] << 16) | (blob[pos + 1] << 8)
+                           | blob[pos + 2])
+                    pos += 3
+                    cnt += 24
+                peek = (buf >> (cnt - 16)) & 0xFFFF
+                ln = dlen[peek]
+                if ln == 0:
+                    raise ValueError("invalid Huffman code in "
+                                     "entropy stream")
+                cnt -= ln
+                s = dsym[peek]
+                if s:
+                    if cnt < s:
+                        buf = (((buf & ((1 << cnt) - 1)) << 24)
+                               | (blob[pos] << 16) | (blob[pos + 1] << 8)
+                               | blob[pos + 2])
+                        pos += 3
+                        cnt += 24
+                    cnt -= s
+                    v = (buf >> cnt) & ((1 << s) - 1)
+                    dda(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                else:
+                    dda(0)
+                # ---- AC: combined LUT fast path
+                k = 1
+                while k < 64:
+                    if cnt < 32:
+                        buf = (((buf & ((1 << cnt) - 1)) << 24)
+                               | (blob[pos] << 16) | (blob[pos + 1] << 8)
+                               | blob[pos + 2])
+                        pos += 3
+                        cnt += 24
+                    peek = (buf >> (cnt - 16)) & 0xFFFF
+                    ka = akadv[peek]
+                    if ka == 255:              # EOB
+                        cnt -= atot[peek]
+                        break
+                    if 0 < ka < 254:           # coefficient, inline value
+                        cnt -= atot[peek]
+                        k += ka
+                        if k > 64:
+                            raise ValueError("AC run past block end")
+                        abk(blk6 | (k - 1))
+                        ava(aval[peek])
+                        continue
+                    if ka == 254:              # ZRL
+                        cnt -= atot[peek]
+                        k += 16
+                        continue
+                    # two-step fall-back: a code whose value bits
+                    # spill past the 16-bit window
+                    ln = alen[peek]
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code in "
+                                         "entropy stream")
+                    cnt -= ln
+                    rs = asym[peek]
+                    s = rs & 15
+                    if s == 0:
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        break              # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    if cnt < s:
+                        buf = (((buf & ((1 << cnt) - 1)) << 24)
+                               | (blob[pos] << 16) | (blob[pos + 1] << 8)
+                               | blob[pos + 2])
+                        pos += 3
+                        cnt += 24
+                    cnt -= s
+                    v = (buf >> cnt) & ((1 << s) - 1)
+                    abk(blk6 | k)
+                    ava(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                    k += 1
+                blk6 += 64
+    except IndexError:
+        raise EOFError("entropy segment exhausted") from None
+    if (pos << 3) - cnt > (seg_ends[seg] << 3):
+        raise EOFError("entropy segment exhausted")
+    return dc_diffs, ac_bk, ac_val
+
+
 def _decode_scan(frame, scan, qtables, htables, ri, segs) -> np.ndarray:
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    # interleaved per-MCU block template (T.81 A.2.3 ordering)
+    tmpl = [(si, by, bx)
+            for si, (comp, _, _) in enumerate(scan)
+            for by in range(comp["v"]) for bx in range(comp["h"])]
+    B = len(tmpl)
+    nblk = n_mcus * B
+    tmpl_tabs = []
+    for si, by, bx in tmpl:
+        comp, td, ta = scan[si]
+        dc = htables[(0, td)]
+        ac = htables[(1, ta)]
+        tmpl_tabs.append((dc[0], dc[1], ac[0], ac[1],
+                          ac[2], ac[3], ac[4]))
+
+    dc_diffs, ac_bk, ac_val = _decode_entropy(
+        segs, tmpl_tabs, n_mcus, B, ri)
+
+    # ---- phase 2: everything below is whole-image vectorized numpy
+    comp_seq = np.tile(np.array([si for si, _, _ in tmpl], np.int64),
+                       n_mcus)
+    # DC: per-component prefix sums of the diffs, reset per restart
+    # segment (T.81 F.2.1.3.1 PRED)
+    diffs = np.asarray(dc_diffs, np.int64)
+    seg_of_blk = ((np.arange(nblk, dtype=np.int64) // B) // ri
+                  if ri else np.zeros(nblk, np.int64))
+    dc_abs = np.empty(nblk, np.int64)
+    for si in range(len(scan)):
+        mask = comp_seq == si
+        d = diffs[mask]
+        cs = np.cumsum(d)
+        sg = seg_of_blk[mask]
+        starts = np.flatnonzero(np.diff(sg)) + 1
+        firsts = np.r_[0, starts]
+        segix = np.searchsorted(firsts, np.arange(len(d)),
+                                side="right") - 1
+        subs = np.r_[0, cs[starts - 1]][segix]
+        dc_abs[mask] = cs - subs
+
+    coefs = np.zeros((nblk, 64), np.int64)
+    if ac_bk:
+        bk = np.asarray(ac_bk, np.int64)
+        coefs[bk >> 6, bk & 63] = np.asarray(ac_val, np.int64)
+    coefs[:, 0] = dc_abs
+
+    # dequantize (tables are zigzag-ordered as parsed from DQT),
+    # de-zigzag, then ONE batched IDCT over every block
+    q_zz = np.stack([qtables[comp["tq"]] for comp, _, _ in scan])
+    deq = coefs * q_zz[comp_seq]
+    blocks = np.zeros((nblk, 64))
+    blocks[:, ZIGZAG] = deq
+    pix = np.einsum("ux,nuv,vy->nxy", _A, blocks.reshape(nblk, 8, 8),
+                    _A, optimize=True) + 128.0
+
+    # scatter blocks into component planes (vectorized placement)
+    mcu_of = np.arange(nblk, dtype=np.int64) // B
+    my, mx = mcu_of // mcus_x, mcu_of % mcus_x
+    tby = np.tile(np.array([by for _, by, _ in tmpl], np.int64), n_mcus)
+    tbx = np.tile(np.array([bx for _, _, bx in tmpl], np.int64), n_mcus)
     planes = {}
-    for comp, _, _ in scan:
-        planes[comp["id"]] = np.zeros(
-            (mcus_y * comp["v"] * 8, mcus_x * comp["h"] * 8))
-    dc_pred = {comp["id"]: 0 for comp, _, _ in scan}
-    seg_idx = 0
-    reader = _BitReader(segs[0])
-    for mcu in range(mcus_x * mcus_y):
-        if ri and mcu and mcu % ri == 0:
-            seg_idx += 1
-            reader = _BitReader(segs[seg_idx])
-            dc_pred = {k: 0 for k in dc_pred}
-        my, mx = divmod(mcu, mcus_x)
-        for comp, td, ta in scan:
-            q = qtables[comp["tq"]]
-            dct = htables[(0, td)]
-            act = htables[(1, ta)]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    zz = np.zeros(64)
-                    s = _decode_symbol(reader, dct)
-                    dc_pred[comp["id"]] += _extend(reader.read_bits(s), s)
-                    zz[0] = dc_pred[comp["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(reader, act)
-                        r, ssss = rs >> 4, rs & 15
-                        if ssss == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break          # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = _extend(reader.read_bits(ssss), ssss)
-                        k += 1
-                    block = np.zeros(64)
-                    block[ZIGZAG] = zz * q
-                    pix = _A.T @ block.reshape(8, 8) @ _A + 128.0
-                    y0 = (my * comp["v"] + by) * 8
-                    x0 = (mx * comp["h"] + bx) * 8
-                    planes[comp["id"]][y0:y0 + 8, x0:x0 + 8] = pix
+    for si, (comp, _, _) in enumerate(scan):
+        mask = comp_seq == si
+        nby, nbx = mcus_y * comp["v"], mcus_x * comp["h"]
+        brow = my[mask] * comp["v"] + tby[mask]
+        bcol = mx[mask] * comp["h"] + tbx[mask]
+        pb = np.empty((nby * nbx, 8, 8))
+        pb[brow * nbx + bcol] = pix[mask]
+        planes[comp["id"]] = (pb.reshape(nby, nbx, 8, 8)
+                              .transpose(0, 2, 1, 3)
+                              .reshape(nby * 8, nbx * 8))
     # upsample each component to full MCU-grid resolution, crop, convert
     full = []
     for comp, _, _ in scan:
         p = planes[comp["id"]]
-        p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0),
-                      hmax // comp["h"], axis=1)
+        if vmax != comp["v"]:
+            p = np.repeat(p, vmax // comp["v"], axis=0)
+        if hmax != comp["h"]:
+            p = np.repeat(p, hmax // comp["h"], axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
