@@ -17,15 +17,18 @@ needed, everything is pure numpy over Arrow batches in ``mapInPandas``:
 
 Compressed images decode natively too, via from-scratch pure-numpy
 codecs: baseline sequential JPEG (``..jpeg`` — T.81 marker parse, any
-DHT/DQT, 4:2:0/4:2:2/4:4:4, restart intervals) and 8-bit PNG
-(``..png`` — zlib inflate + all five scanline filters; lossless, so
-the driver-checked decode entry runs over PNG with its full
-relational oracle).  ``decode_stub='jpeg'``/``'png'`` run REAL
-compressed round trips end-to-end.  Formats still needing a library
-(progressive JPEG, palette/16-bit PNG, MP3/AAC) keep the declared
-stub slot: ``decode_stub='fake'`` produces a deterministic fake
-feature vector; ``decode_stub='raise'`` raises NotImplementedError
-where the library decoder would plug in.
+DHT/DQT, 4:2:0/4:2:2/4:4:4, restart intervals, table-driven Huffman)
+and PNG at 8/16-bit + palette (``..png`` — zlib inflate + all five
+scanline filters, wavefront-vectorized; lossless, so the
+driver-checked decode entry runs over PNG with its full relational
+oracle).  ``decode_stub='jpeg'``/``'png'`` run REAL compressed round
+trips end-to-end.  Formats still needing a library (progressive
+JPEG, Adam7 PNG, MP3/AAC) keep the declared stub slot —
+``decode_stub='fake'`` produces a deterministic fake feature vector,
+``decode_stub='raise'`` raises NotImplementedError — and the library
+seam is WIRED: ``SPARK_GRAFT_IMAGE_LIBRARY=1`` + an installed PIL
+routes ``decode_image`` through the library (parity-tested against
+the native baseline-JPEG path, skip-if-absent).
 """
 
 from __future__ import annotations
@@ -137,10 +140,39 @@ def synth_image(doc_id: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+# Feature flag for the wired library path: when set truthy AND PIL is
+# importable, decode_image routes through PIL FIRST, covering the
+# formats the native codecs declare as slots (progressive JPEG,
+# Adam7 PNG, WebP, ...).  tests/test_multimodal.py carries a
+# skip-if-absent parity test against the native baseline-JPEG path.
+IMAGE_LIBRARY_ENV = "SPARK_GRAFT_IMAGE_LIBRARY"
+
+
+def _library_decode(buf: bytes) -> np.ndarray | None:
+    """The guarded PIL seam: returns (h, w, 3) uint8 RGB, or None when
+    the flag is off or PIL is absent (native codecs take over)."""
+    import os
+
+    if os.environ.get(IMAGE_LIBRARY_ENV, "").lower() \
+            not in ("1", "true", "yes"):
+        return None
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+
+
 def decode_image(buf: bytes) -> np.ndarray:
-    """Format-dispatching image decode: BMP, baseline JPEG and 8-bit
-    PNG decode natively (magic-byte sniff); anything else is the
-    library slot."""
+    """Format-dispatching image decode: BMP, baseline JPEG and PNG
+    (8/16-bit, palette) decode natively (magic-byte sniff); with
+    ``SPARK_GRAFT_IMAGE_LIBRARY`` set and PIL installed, the library
+    decodes instead (the ~100x path for a real media crawl)."""
+    lib = _library_decode(buf)
+    if lib is not None:
+        return lib
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:2] == b"\xff\xd8":
@@ -150,8 +182,9 @@ def decode_image(buf: bytes) -> np.ndarray:
         from ..png import decode_png
         return decode_png(buf)
     raise NotImplementedError(
-        "unrecognized image format — WebP/progressive-JPEG plug in "
-        "PIL here (BMP, baseline JPEG and 8-bit PNG decode natively)")
+        "unrecognized image format — set SPARK_GRAFT_IMAGE_LIBRARY "
+        "with PIL installed for WebP/progressive-JPEG (BMP, baseline "
+        "JPEG and 8/16-bit/palette PNG decode natively)")
 
 
 def image_payloads(spark, sf_dir, fmt: str = "bmp"):

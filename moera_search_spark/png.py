@@ -7,11 +7,12 @@ filtered bytes, and losslessness makes round trips byte-exact —
 which gives the Spark pipeline a compressed format whose features
 can still be verified bit-for-bit against the uncompressed source.
 
-Decoder scope (``decode_png``): 8-bit greyscale / RGB / RGBA /
-greyscale+alpha (color types 0/2/4/6), all five scanline filters
-(None/Sub/Up/Average/Paeth), multiple IDAT chunks, CRC validation.
-Palette (type 3), 16-bit, interlaced (Adam7) raise
-``NotImplementedError`` — the declared library slots.
+Decoder scope (``decode_png``): greyscale / RGB / RGBA /
+greyscale+alpha (color types 0/2/4/6) at 8- and 16-bit depth,
+palette (type 3) at depths 1/2/4/8 via PLTE, all five scanline
+filters (None/Sub/Up/Average/Paeth), multiple IDAT chunks, CRC
+validation.  Interlaced (Adam7) raises ``NotImplementedError`` —
+the one remaining library slot.
 
 Encoder scope (``encode_png``): 8-bit RGB, one IDAT, per-scanline
 filter choice of None or Sub (enough to exercise both the filtered
@@ -42,13 +43,17 @@ def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG to (h, w, 3) uint8 RGB (alpha dropped,
-    grey replicated).  Raises NotImplementedError on palette/16-bit/
-    interlaced streams."""
+    """Decode a PNG to (h, w, 3) uint8 RGB (alpha dropped, grey
+    replicated, 16-bit reduced to the high byte, palette resolved
+    through PLTE).  Supported: bit depths 8 and 16 for grey/RGB/
+    RGBA/grey+alpha (color types 0/2/4/6), palette (type 3) at
+    depths 1/2/4/8.  Adam7 interlacing raises NotImplementedError —
+    the remaining library slot."""
     if buf[:8] != _SIG:
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(buf):
         (clen,) = struct.unpack_from(">I", buf, pos)
@@ -61,20 +66,32 @@ def decode_png(buf: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             w, h, depth, color, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if depth != 8 or color not in _CHANNELS or interlace:
+            if interlace:
                 raise NotImplementedError(
-                    "8-bit non-interlaced grey/RGB/RGBA decodes "
-                    "natively; palette/16-bit/Adam7 plug in PIL here")
-            ihdr = (w, h, _CHANNELS[color])
+                    "Adam7-interlaced PNG — plug a library decoder "
+                    "in here (sequential streams decode natively)")
+            if color == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(f"bad palette bit depth {depth}")
+            elif color not in _CHANNELS or depth not in (8, 16):
+                raise ValueError(
+                    f"invalid IHDR color/depth {color}/{depth}")
+            ihdr = (w, h, depth, color)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
-    w, h, ch = ihdr
+    w, h, depth, color = ihdr
+    nch = 1 if color == 3 else _CHANNELS[color]
+    # scanline byte geometry (spec §7.2): filters act on BYTES with
+    # the left neighbour one pixel-unit (bpp bytes, min 1) back
+    stride = (w * depth * nch + 7) // 8
+    unit = max(1, depth // 8) * nch
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
     raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
@@ -83,10 +100,26 @@ def decode_png(buf: bytes) -> np.ndarray:
         bad = int(ftypes[ftypes > 4][0])
         raise ValueError(f"unknown filter type {bad}")
     if not np.isin(ftypes, (3, 4)).any():
-        out = _defilter_rowwise(raw, w, ch)
+        out = _defilter_rowwise(raw, stride // unit, unit)
     else:
-        out = _defilter_wavefront(raw, w, ch)
-    px = out.reshape(h, w, ch)
+        out = _defilter_wavefront(raw, stride // unit, unit)
+    if color == 3:                           # palette indices → RGB
+        if plte is None:
+            raise ValueError("palette image without PLTE chunk")
+        if depth == 8:
+            idx = out
+        else:
+            bits = np.unpackbits(out, axis=1)[:, :w * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            idx = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx.reshape(h, w)]
+    ch = _CHANNELS[color]
+    if depth == 16:                          # network order: MSB first
+        px = out.reshape(h, w, ch, 2)[:, :, :, 0]
+    else:
+        px = out.reshape(h, w, ch)
     if ch == 1:
         return np.repeat(px, 3, axis=2)
     if ch == 2:                              # grey + alpha

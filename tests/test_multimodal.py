@@ -265,3 +265,41 @@ class TestVideoCompressedFrames:
                 _s.pack("<I", len(b)) + b
                 for b in map(encode_bmp, frames)), every=1)
         assert np.allclose(got, exp)
+
+
+class TestLibrarySeam:
+    """The wired PIL path behind SPARK_GRAFT_IMAGE_LIBRARY."""
+
+    def test_flag_off_means_native(self, monkeypatch):
+        from moera_search_spark.operators.multimodal import (
+            IMAGE_LIBRARY_ENV, _library_decode)
+
+        monkeypatch.delenv(IMAGE_LIBRARY_ENV, raising=False)
+        assert _library_decode(b"\xff\xd8") is None
+
+    def test_flag_on_without_pil_falls_back_native(self, monkeypatch):
+        from moera_search_spark.jpeg import encode_jpeg
+        from moera_search_spark.operators.multimodal import (
+            IMAGE_LIBRARY_ENV, decode_image, synth_image)
+
+        monkeypatch.setenv(IMAGE_LIBRARY_ENV, "1")
+        img = synth_image(12)
+        out = decode_image(encode_jpeg(img, quality=95))
+        assert out.shape == img.shape        # native decode ran
+
+    def test_library_parity_on_baseline_jpeg(self, monkeypatch):
+        """Skip-if-absent: with PIL installed, the library path must
+        agree with the native T.81 decoder to IDCT rounding (libjpeg
+        integer IDCT vs our float64: a few grey levels)."""
+        pytest.importorskip("PIL")
+        from moera_search_spark.jpeg import decode_jpeg, encode_jpeg
+        from moera_search_spark.operators.multimodal import (
+            IMAGE_LIBRARY_ENV, decode_image, synth_image)
+
+        img = synth_image(33)
+        buf = encode_jpeg(img, quality=90, subsampling="444")
+        native = decode_jpeg(buf)
+        monkeypatch.setenv(IMAGE_LIBRARY_ENV, "1")
+        lib = decode_image(buf)
+        assert lib.shape == native.shape
+        assert np.abs(lib.astype(int) - native.astype(int)).max() <= 4

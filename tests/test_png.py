@@ -113,10 +113,12 @@ class TestErrors:
         with pytest.raises(ValueError, match="CRC"):
             decode_png(bytes(buf))
 
-    def test_palette_raises_not_implemented(self):
+    def test_palette_without_idat_rejected(self):
+        # palette decodes natively since round 4; a header-only
+        # stream is a data error, not a library slot
         ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
         buf = _SIG + _chunk(b"IHDR", ihdr)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="IDAT"):
             decode_png(buf)
 
     def test_not_a_png(self):
@@ -154,3 +156,115 @@ class TestSparkLosslessPipeline:
                multimodal_decode_features(spark, SF_DIR,
                                           decode_stub="bmp").collect()}
         assert png == bmp and len(png) > 0
+
+
+def _assemble_full(w, h, depth, color, lines: bytes,
+                   plte: bytes | None = None) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(lines)) \
+        + _chunk(b"IEND", b"")
+
+
+class TestPaletteAnd16Bit:
+    def test_palette_8bit(self):
+        rng = np.random.RandomState(5)
+        plte = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+        idx = rng.randint(0, 256, (7, 9), dtype=np.uint8)
+        lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(7))
+        out = decode_png(_assemble_full(9, 7, 8, 3, lines,
+                                        plte.tobytes()))
+        assert (out == plte[idx]).all()
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_palette_subbyte(self, depth):
+        rng = np.random.RandomState(depth)
+        n = 1 << depth
+        plte = rng.randint(0, 256, (n, 3), dtype=np.uint8)
+        w, h = 11, 5                      # w*depth not byte-aligned
+        idx = rng.randint(0, n, (h, w), dtype=np.uint8)
+        lines = bytearray()
+        for y in range(h):
+            lines.append(0)
+            bits = np.unpackbits(
+                idx[y][:, None], axis=1, count=8)[:, 8 - depth:]
+            packed = np.packbits(bits.reshape(-1))
+            lines += packed.tobytes()
+        out = decode_png(_assemble_full(w, h, depth, 3, bytes(lines),
+                                        plte.tobytes()))
+        assert (out == plte[idx]).all()
+
+    def test_palette_with_sub_filter(self):
+        plte = np.arange(768, dtype=np.uint8).reshape(256, 3)
+        idx = np.tile(np.arange(16, dtype=np.uint8), (4, 2))  # (4, 32)
+        # Sub filter on index bytes (bpp = 1)
+        lines = bytearray()
+        for y in range(4):
+            lines.append(1)
+            row = idx[y].astype(int)
+            sub = [row[0]] + [(row[x] - row[x - 1]) % 256
+                              for x in range(1, len(row))]
+            lines += bytes(sub)
+        out = decode_png(_assemble_full(32, 4, 8, 3, bytes(lines),
+                                        plte.tobytes()))
+        assert (out == plte[idx]).all()
+
+    def test_palette_missing_plte_rejected(self):
+        lines = b"\x00" + bytes(4)
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_png(_assemble_full(4, 1, 8, 3, lines))
+
+    def test_palette_index_out_of_range_rejected(self):
+        plte = bytes(6)                   # 2 entries
+        lines = b"\x00" + bytes([0, 1, 3, 0])
+        with pytest.raises(ValueError, match="palette index"):
+            decode_png(_assemble_full(4, 1, 8, 3, lines, plte))
+
+    def test_16bit_rgb_msb(self):
+        rng = np.random.RandomState(16)
+        px16 = rng.randint(0, 65536, (5, 6, 3), dtype=np.uint16)
+        raw = px16.byteswap().tobytes()   # big-endian network order
+        stride = 6 * 3 * 2
+        lines = b"".join(
+            b"\x00" + raw[y * stride:(y + 1) * stride] for y in range(5))
+        out = decode_png(_assemble_full(6, 5, 16, 2, lines))
+        assert (out == (px16 >> 8).astype(np.uint8)).all()
+
+    def test_16bit_grey_paeth_filter(self):
+        """16-bit + Paeth: the filter unit is 2 bytes (bpp), exercised
+        through the wavefront path; replicated-byte samples survive
+        the MSB reduction losslessly."""
+        g8 = synth_image(9)[:, :, 0]
+        h, w = g8.shape
+        px16 = (g8.astype(np.uint16) << 8) | g8
+        raw = np.frombuffer(px16.byteswap().tobytes(),
+                            np.uint8).reshape(h, w * 2)
+        # forward-Paeth with bpp=2 (python ints, independent impl)
+        lines = bytearray()
+        prev = [0] * (w * 2)
+        for y in range(h):
+            lines.append(4)
+            row = [int(v) for v in raw[y]]
+            for x in range(w * 2):
+                a = row[x - 2] if x >= 2 else 0
+                b = prev[x]
+                c = prev[x - 2] if x >= 2 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else \
+                    (b if pb <= pc else c)
+                lines.append((row[x] - pred) % 256)
+            prev = row
+        out = decode_png(_assemble_full(w, h, 16, 0, bytes(lines)))
+        assert (out[:, :, 0] == g8).all()
+        assert (out[:, :, 1] == g8).all()
+
+    def test_interlace_still_library_slot(self):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+        buf = _SIG + _chunk(b"IHDR", ihdr) \
+            + _chunk(b"IDAT", zlib.compress(bytes(13 * 4))) \
+            + _chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError, match="Adam7"):
+            decode_png(buf)
