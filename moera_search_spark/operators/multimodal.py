@@ -500,8 +500,16 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         from ..adpcm import decode_adpcm_data
 
         if n_samples is None:
-            n_samples = (len(data) // block_align) * (
-                1 + (block_align - 4) * 2)
+            # no fact chunk: count the nibbles actually present — a
+            # trailing PARTIAL block contributes only its own samples
+            # instead of a full block's worth of phantom padding.
+            # (Padding hidden inside a byte-complete final block is
+            # indistinguishable without fact; our encoder always
+            # writes fact, so only external payloads hit this path.)
+            full, rem = divmod(len(data), block_align)
+            n_samples = full * (1 + (block_align - 4) * 2)
+            if rem >= 4:
+                n_samples += 1 + (rem - 4) * 2
         return decode_adpcm_data(data, block_align, n_samples), rate
     return np.frombuffer(data, dtype="<i2").astype(np.float64) \
         / 32767.0, rate

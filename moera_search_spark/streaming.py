@@ -203,8 +203,11 @@ def stream_sessionize(spark, events_dir: str, *,
                       timeout_sec: float | None = None):
     """Gap-based sessionization as a custom stateful streaming
     operator (``applyInPandasWithState``): consecutive events of one
-    user belong to one session while inter-event gaps stay under
-    ``gap``.
+    user belong to one session while inter-event gaps stay strictly
+    under ``gap`` — sessions are half-open ``[start, last + gap)``
+    like Spark's own ``session_window``, so an event exactly ``gap``
+    after the last starts a new session and the emission boundary is
+    arrival-order-invariant.
 
     Append semantics mirror the windowed aggregation's: a session is
     emitted only once the WATERMARK passes its last event plus the
@@ -237,9 +240,21 @@ def stream_sessionize(spark, events_dir: str, *,
         GroupStateTimeout,
     )
 
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("", "UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        # GroupState.getCurrentWatermarkMs is a UTC epoch while pandas
+        # sees session-zone-localized timestamps; rather than silently
+        # skewing every session boundary by the offset, refuse loudly
+        # (the tz-aware path inside fn normalizes, but tz-NAIVE
+        # session-localized columns are indistinguishable from UTC)
+        raise ValueError(
+            f"stream_sessionize requires a UTC session time zone "
+            f"(spark.sql.session.timeZone={tz!r})")
     gap_us = _duration_us(gap)
 
     def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         (user_id,) = key
         wm_us = state.getCurrentWatermarkMs() * 1000
         sessions = []
@@ -249,16 +264,42 @@ def stream_sessionize(spark, events_dir: str, *,
             chunks = [p for p in pdf_iter if len(p)]
             if chunks:
                 rows = pd.concat(chunks, ignore_index=True)
-                ts_us = (rows["ts"].astype("int64") // 1000
-                         if rows["ts"].dtype.kind == "M"
-                         else rows["ts"].astype("int64"))
-                vals = rows["value"].fillna(0.0).astype(float).values
-                sessions += [[int(t), int(t), 1, float(v)]
-                             for t, v in zip(ts_us.values, vals)]
+                ts_col = rows["ts"]
+                if ts_col.dtype.kind == "M":
+                    if getattr(ts_col.dt, "tz", None) is not None:
+                        # normalize to UTC-naive: the watermark from
+                        # getCurrentWatermarkMs is a UTC epoch, so a
+                        # session-time-zone-localized column would skew
+                        # every boundary by the zone offset
+                        ts_col = (ts_col.dt.tz_convert("UTC")
+                                  .dt.tz_localize(None))
+                    ts_us = ts_col.astype("int64") // 1000
+                else:
+                    ts_us = ts_col.astype("int64")
+                vals = (rows["value"].fillna(0.0).astype(float)
+                        .to_numpy())
+                # vectorized pre-merge of this batch's events: sort,
+                # cut where the gap closes (diff >= gap — half-open
+                # [start, last+gap) like Spark's session_window), fold
+                # each run to one interval
+                t = ts_us.to_numpy()
+                order = np.argsort(t, kind="stable")
+                t = t[order]
+                v = vals[order]
+                brk = np.flatnonzero(np.diff(t) >= gap_us) + 1
+                lo = np.r_[0, brk]
+                hi = np.r_[brk, len(t)]
+                sv = np.add.reduceat(v, lo)
+                sessions += [[int(t[a]), int(t[b - 1]), int(b - a),
+                              float(s)]
+                             for a, b, s in zip(lo, hi, sv)]
                 sessions.sort(key=lambda s: (s[0], s[1]))
                 merged: list[list] = []
                 for s in sessions:
-                    if merged and s[0] <= merged[-1][1] + gap_us:
+                    # strict <: an event exactly gap after the last
+                    # starts a new session, so no in-watermark event
+                    # can ever extend an already-emitted session
+                    if merged and s[0] < merged[-1][1] + gap_us:
                         m = merged[-1]
                         m[1] = max(m[1], s[1])
                         m[2] += s[2]

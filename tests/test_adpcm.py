@@ -191,3 +191,42 @@ class TestPropertyFuzz:
                                 BLOCK_ALIGN, 1 + len(nibbles))
         exp = [pred] + _ref_decode(nibbles, pred, index)
         assert np.allclose(got * 32767.0, exp)
+
+
+class TestFactlessPartialBlock:
+    def test_partial_trailing_block_without_fact(self):
+        """An externally-produced ADPCM WAV with no fact chunk and a
+        truncated final block must not gain phantom padding samples
+        (ADVICE r3): n_samples derives from the nibbles present."""
+        import struct
+
+        from moera_search_spark.adpcm import encode_adpcm_wav
+        from moera_search_spark.operators.multimodal import decode_wav
+
+        t = np.arange(2000) / 8000.0
+        clip = (np.sin(2 * np.pi * 300 * t) * 9000).astype(np.int16)
+        wav = bytearray(encode_adpcm_wav(clip, 8000))
+        # locate chunks: drop fact, truncate data mid-block
+        off, chunks = 12, {}
+        while off + 8 <= len(wav):
+            cid = bytes(wav[off:off + 4])
+            (clen,) = struct.unpack_from("<I", wav, off + 4)
+            chunks[cid] = (off, clen)
+            off += 8 + clen + (clen % 2)
+        d_off, d_len = chunks[b"data"]
+        f_off, f_len = chunks[b"fmt "]
+        block_align = struct.unpack_from("<H", wav, f_off + 8 + 12)[0]
+        cut = 10                                  # drop 10 data bytes
+        data = bytes(wav[d_off + 8: d_off + 8 + d_len - cut])
+        out = (bytes(wav[:f_off])
+               + bytes(wav[f_off: f_off + 8 + f_len])
+               + b"data" + struct.pack("<I", len(data)) + data)
+        samples, rate = decode_wav(out)
+        full, rem = divmod(len(data), block_align)
+        expect = full * (1 + (block_align - 4) * 2)
+        if rem >= 4:
+            expect += 1 + (rem - 4) * 2
+        assert len(samples) == expect
+        # decoded prefix matches the fact-bearing original's prefix
+        orig, _ = decode_wav(bytes(wav))
+        assert np.allclose(samples, orig[:len(samples)])

@@ -295,7 +295,7 @@ class TestRealDataDuckDBParity:
             WITH e AS (
               SELECT user_id, ts, value,
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR ts - lag(ts) OVER w > INTERVAL 1 DAY
+                            OR ts - lag(ts) OVER w >= INTERVAL 1 DAY
                           THEN 1 ELSE 0 END AS brk
               FROM read_parquet('{self.EVENTS}')
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)
