@@ -16,7 +16,7 @@ import pandas as pd
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["customer", "orders", "documents"]
+TABLES = ["customer", "orders", "documents", "events"]
 
 
 @pytest.fixture(scope="module")
@@ -57,6 +57,13 @@ class TestRetiredCatalogEntries:
             JOIN_FANOUT_IDS_SQL, join_fanout_ids)
 
         _parity(spark, duck, join_fanout_ids, JOIN_FANOUT_IDS_SQL)
+
+    def test_rank_keyset_pagination(self, spark, duck):
+        from moera_search_spark.operators.relational import (
+            RANK_KEYSET_PAGINATION_SQL, rank_keyset_pagination)
+
+        _parity(spark, duck, rank_keyset_pagination,
+                RANK_KEYSET_PAGINATION_SQL)
 
 
 class TestEngineServingEntries:

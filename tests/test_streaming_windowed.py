@@ -318,3 +318,28 @@ class TestRealDataDuckDBParity:
         exp = {(r[0], r[1]): (r[2], r[3], r[4]) for r in exp_rows}
         assert len(exp) > 300
         assert got == exp
+
+        # triangulate with the driver-checked batch twin: the stream's
+        # emitted sessions are exactly the batch gap-fold filtered to
+        # closed-by-watermark (same half-open gap semantics)
+        import datetime
+
+        from moera_search_spark.operators.relational import (
+            sessionize_gap_batch)
+
+        wm = max(r[0] for r in duckdb.sql(
+            f"SELECT max(ts) FROM read_parquet('{self.EVENTS}')"
+        ).fetchall()) - datetime.timedelta(hours=1)
+
+        def us2dt(us):
+            return datetime.datetime(1970, 1, 1) \
+                + datetime.timedelta(microseconds=int(us))
+
+        twin = {(r["user_id"], us2dt(r["session_start_us"])):
+                (us2dt(r["session_end_us"]), r["n_events"],
+                 round(r["sum_value_e6"] / 1e6, 6))
+                for r in sessionize_gap_batch(
+                    spark, "/root/testdata/sf0.01").collect()
+                if (us2dt(r["session_end_us"])
+                    + datetime.timedelta(days=1)) <= wm}
+        assert twin == got
