@@ -40,8 +40,15 @@ Three measurement groups:
 Engine artifacts live on /dev/shm by default so the bench measures the
 engine, not the sandbox's shared virtio disk.
 
+Group 2 runs twice: at ``SPARK_GRAFT_BENCH_CONVS`` (default 100k
+convs ≈ 960k turns, the round-over-round comparison size) and at
+``SPARK_GRAFT_BIG_CONVS`` (default 400k convs ≈ 3.9M turns — the size
+where block-max pruning's crossover lives; its build + p50s land in
+the JSON under the ``…@3.9M`` engine key).
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_CONVS
 (corpus size, default 100_000 conversations ≈ 960k turns),
+SPARK_GRAFT_BIG_CONVS (0 disables the large leg),
 SPARK_GRAFT_SCALING=0 to skip group 3, SPARK_GRAFT_BENCH_DIR.
 """
 
@@ -62,6 +69,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
 SCALING_CONVS = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "200000"))
+# the large-corpus engine leg (~3.9M turns at the default): the size
+# where the pruned path's crossover lives, tracked round-over-round
+# in the emitted JSON (round-3 VERDICT item 7); 0 disables
+BIG_CONVS = int(os.environ.get("SPARK_GRAFT_BIG_CONVS", "400000"))
 WARMUP_CONVS = 2000
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 WORKDIR = os.environ.get("SPARK_GRAFT_BENCH_DIR",
@@ -230,12 +241,14 @@ def run_headline(queries_out: dict) -> float:
     return total
 
 
-def materialize_corpus() -> tuple[str, str, str]:
+def materialize_corpus() -> tuple[str, str, str, str]:
     from moera_search_spark.fixtures import transcripts_df
 
     sizes = {"corpus": N_CONVS, "warmup": WARMUP_CONVS}
     if SCALING:
         sizes["scaling"] = SCALING_CONVS
+    if BIG_CONVS:
+        sizes["big"] = BIG_CONVS
     paths = {k: os.path.join(WORKDIR, f"transcripts_{n}")
              for k, n in sizes.items()}
     missing = [k for k, p in paths.items()
@@ -247,7 +260,8 @@ def materialize_corpus() -> tuple[str, str, str]:
                 .parquet(paths[k])
         spark.stop()
     return (paths["corpus"], paths["warmup"],
-            paths.get("scaling", paths["corpus"]))
+            paths.get("scaling", paths["corpus"]),
+            paths.get("big", paths["corpus"]))
 
 
 def spawn_child(n_cpus: int, corpus: str, warmup: str,
@@ -324,7 +338,7 @@ def main() -> None:
 
     headline_sec = run_headline(queries)
 
-    corpus, warmup, scaling_corpus = materialize_corpus()
+    corpus, warmup, scaling_corpus, big_corpus = materialize_corpus()
     hi, lo = max(SCALING_LEVELS), min(SCALING_LEVELS)
     engine: dict = {}
     scaling: dict = {}
@@ -338,6 +352,19 @@ def main() -> None:
         engine[f"local[{ENGINE_CPUS}]"].get("p50_exhaustive_sec")
     queries["engine_query_p50_pruned"] = \
         engine[f"local[{ENGINE_CPUS}]"].get("p50_pruned_sec")
+
+    if BIG_CONVS:
+        # large-corpus leg: the pruned/exhaustive crossover size
+        settle()
+        big = spawn_child(ENGINE_CPUS, big_corpus, warmup,
+                          with_queries=True, tag="b")
+        label = f"{big['n_docs'] / 1e6:.1f}M"
+        engine[f"local[{ENGINE_CPUS}]@{label}"] = big
+        queries[f"engine_build_{label}"] = big["build_sec"]
+        queries[f"engine_query_p50_exhaustive_{label}"] = \
+            big.get("p50_exhaustive_sec")
+        queries[f"engine_query_p50_pruned_{label}"] = \
+            big.get("p50_pruned_sec")
 
     if SCALING and hi != lo:
         # scaling legs: same job, 4× corpus (see module docstring),
