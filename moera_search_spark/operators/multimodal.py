@@ -23,7 +23,7 @@ scanline filters, wavefront-vectorized; lossless, so the
 driver-checked decode entry runs over PNG with its full relational
 oracle).  ``decode_stub='jpeg'``/``'png'`` run REAL compressed round
 trips end-to-end.  Formats still needing a library (progressive
-JPEG, Adam7 PNG, MP3/AAC) keep the declared stub slot —
+JPEG, MP3/AAC) keep the declared stub slot —
 ``decode_stub='fake'`` produces a deterministic fake feature vector,
 ``decode_stub='raise'`` raises NotImplementedError — and the library
 seam is WIRED: ``SPARK_GRAFT_IMAGE_LIBRARY=1`` + an installed PIL
@@ -143,7 +143,7 @@ def synth_image(doc_id: int) -> np.ndarray:
 # Feature flag for the wired library path: when set truthy AND PIL is
 # importable, decode_image routes through PIL FIRST, covering the
 # formats the native codecs declare as slots (progressive JPEG,
-# Adam7 PNG, WebP, ...).  tests/test_multimodal.py carries a
+# WebP, ...).  tests/test_multimodal.py carries a
 # skip-if-absent parity test against the native baseline-JPEG path.
 IMAGE_LIBRARY_ENV = "SPARK_GRAFT_IMAGE_LIBRARY"
 

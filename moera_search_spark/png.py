@@ -10,9 +10,10 @@ can still be verified bit-for-bit against the uncompressed source.
 Decoder scope (``decode_png``): greyscale / RGB / RGBA /
 greyscale+alpha (color types 0/2/4/6) at 8- and 16-bit depth,
 palette (type 3) at depths 1/2/4/8 via PLTE, all five scanline
-filters (None/Sub/Up/Average/Paeth), multiple IDAT chunks, CRC
-validation.  Interlaced (Adam7) raises ``NotImplementedError`` —
-the one remaining library slot.
+filters (None/Sub/Up/Average/Paeth), sequential and Adam7-interlaced
+streams (each interlace pass is an independently-filtered sub-image,
+decoded and scattered into the full grid), multiple IDAT chunks,
+CRC validation.  PNG has no remaining library slot.
 
 Encoder scope (``encode_png``): 8-bit RGB, one IDAT, per-scanline
 filter choice of None or Sub (enough to exercise both the filtered
@@ -42,13 +43,17 @@ def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
                     np.where(pb <= pc, b, c))
 
 
+# Adam7 pass geometry (spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def decode_png(buf: bytes) -> np.ndarray:
     """Decode a PNG to (h, w, 3) uint8 RGB (alpha dropped, grey
     replicated, 16-bit reduced to the high byte, palette resolved
     through PLTE).  Supported: bit depths 8 and 16 for grey/RGB/
     RGBA/grey+alpha (color types 0/2/4/6), palette (type 3) at
-    depths 1/2/4/8.  Adam7 interlacing raises NotImplementedError —
-    the remaining library slot."""
+    depths 1/2/4/8, sequential AND Adam7-interlaced streams."""
     if buf[:8] != _SIG:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -66,17 +71,15 @@ def decode_png(buf: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             w, h, depth, color, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if interlace:
-                raise NotImplementedError(
-                    "Adam7-interlaced PNG — plug a library decoder "
-                    "in here (sequential streams decode natively)")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
             if color == 3:
                 if depth not in (1, 2, 4, 8):
                     raise ValueError(f"bad palette bit depth {depth}")
             elif color not in _CHANNELS or depth not in (8, 16):
                 raise ValueError(
                     f"invalid IHDR color/depth {color}/{depth}")
-            ihdr = (w, h, depth, color)
+            ihdr = (w, h, depth, color, interlace)
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -85,13 +88,50 @@ def decode_png(buf: bytes) -> np.ndarray:
             break
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
-    w, h, depth, color = ihdr
+    w, h, depth, color, interlace = ihdr
     nch = 1 if color == 3 else _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    if interlace:
+        # each Adam7 pass is an independently-filtered sub-image;
+        # decode each and scatter into the full sample grid
+        samples = np.zeros((h, w, nch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = -(-(w - x0) // dx) if w > x0 else 0
+            hp = -(-(h - y0) // dy) if h > y0 else 0
+            if wp == 0 or hp == 0:
+                continue          # empty pass contributes no bytes
+            n = hp * ((wp * depth * nch + 7) // 8 + 1)
+            samples[y0::dy, x0::dx] = _decode_subimage(
+                raw[off: off + n], wp, hp, depth, nch)
+            off += n
+        if off != len(raw):
+            raise ValueError("IDAT length mismatch")
+    else:
+        samples = _decode_subimage(raw, w, h, depth, nch)
+    if color == 3:                           # palette indices → RGB
+        if plte is None:
+            raise ValueError("palette image without PLTE chunk")
+        if int(samples.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[samples.reshape(h, w)]
+    if nch == 1:
+        return np.repeat(samples, 3, axis=2)
+    if nch == 2:                             # grey + alpha
+        return np.repeat(samples[:, :, :1], 3, axis=2)
+    return samples[:, :, :3].copy()          # RGB / RGBA → RGB
+
+
+def _decode_subimage(raw: bytes, w: int, h: int, depth: int,
+                     nch: int) -> np.ndarray:
+    """Defilter + unpack one (sub-)image's scanlines to a per-pixel
+    sample array (h, w, nch) uint8: sub-byte palette indices unpacked
+    from their bit packing, 16-bit samples reduced to the
+    network-order high byte."""
     # scanline byte geometry (spec §7.2): filters act on BYTES with
     # the left neighbour one pixel-unit (bpp bytes, min 1) back
     stride = (w * depth * nch + 7) // 8
     unit = max(1, depth // 8) * nch
-    raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length mismatch")
     raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
@@ -103,28 +143,14 @@ def decode_png(buf: bytes) -> np.ndarray:
         out = _defilter_rowwise(raw, stride // unit, unit)
     else:
         out = _defilter_wavefront(raw, stride // unit, unit)
-    if color == 3:                           # palette indices → RGB
-        if plte is None:
-            raise ValueError("palette image without PLTE chunk")
-        if depth == 8:
-            idx = out
-        else:
-            bits = np.unpackbits(out, axis=1)[:, :w * depth]
-            weights = 1 << np.arange(depth - 1, -1, -1)
-            idx = (bits.reshape(h, w, depth) * weights).sum(axis=2)
-        if int(idx.max(initial=0)) >= len(plte):
-            raise ValueError("palette index out of range")
-        return plte[idx.reshape(h, w)]
-    ch = _CHANNELS[color]
+    if depth < 8:                            # sub-byte palette indices
+        bits = np.unpackbits(out, axis=1)[:, :w * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (bits.reshape(h, w, depth) * weights).sum(
+            axis=2, dtype=np.uint8).reshape(h, w, 1)
     if depth == 16:                          # network order: MSB first
-        px = out.reshape(h, w, ch, 2)[:, :, :, 0]
-    else:
-        px = out.reshape(h, w, ch)
-    if ch == 1:
-        return np.repeat(px, 3, axis=2)
-    if ch == 2:                              # grey + alpha
-        return np.repeat(px[:, :, :1], 3, axis=2)
-    return px[:, :, :3].copy()               # RGB / RGBA → RGB
+        return out.reshape(h, w, nch, 2)[:, :, :, 0]
+    return out.reshape(h, w, nch)
 
 
 def _defilter_rowwise(raw: np.ndarray, w: int, ch: int) -> np.ndarray:

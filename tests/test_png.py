@@ -261,10 +261,108 @@ class TestPaletteAnd16Bit:
         assert (out[:, :, 0] == g8).all()
         assert (out[:, :, 1] == g8).all()
 
-    def test_interlace_still_library_slot(self):
-        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    def test_bad_interlace_method_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
         buf = _SIG + _chunk(b"IHDR", ihdr) \
             + _chunk(b"IDAT", zlib.compress(bytes(13 * 4))) \
             + _chunk(b"IEND", b"")
-        with pytest.raises(NotImplementedError, match="Adam7"):
+        with pytest.raises(ValueError, match="interlace"):
             decode_png(buf)
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _interlace_forward(samples: np.ndarray, depth: int,
+                       ftype: int = 0) -> bytes:
+    """Independent Adam7 forward pass-splitter + per-pass filter
+    (python/numpy, spec §8.2): samples is (h, w, nch) of raw sample
+    values (palette indices for color 3, per-channel bytes or 16-bit
+    ints otherwise)."""
+    h, w, nch = samples.shape
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        hp, wp = sub.shape[:2]
+        if hp == 0 or wp == 0:
+            continue
+        if depth == 16:
+            rows = sub.astype(">u2").reshape(hp, -1).view(np.uint8)
+        elif depth == 8:
+            rows = sub.astype(np.uint8).reshape(hp, -1)
+        else:                    # sub-byte palette: bit-pack per row
+            packed = []
+            for y in range(hp):
+                bits = np.unpackbits(
+                    sub[y].reshape(-1, 1).astype(np.uint8),
+                    axis=1)[:, 8 - depth:]
+                packed.append(np.packbits(bits.reshape(-1)))
+            rows = np.stack(packed)
+        bpp = max(1, depth // 8) * nch
+        for y in range(hp):
+            row = rows[y].astype(int)
+            out.append(ftype)
+            if ftype == 0:
+                out += row.astype(np.uint8).tobytes()
+            else:                # Sub
+                sb = row.copy()
+                sb[bpp:] = (row[bpp:] - row[:-bpp]) % 256
+                out += sb.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def _assemble_interlaced(w, h, depth, color, lines: bytes,
+                         plte: bytes | None = None) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(lines)) \
+        + _chunk(b"IEND", b"")
+
+
+class TestAdam7:
+    @pytest.mark.parametrize("wh", [(1, 1), (3, 5), (8, 8), (13, 7),
+                                    (17, 11)])
+    def test_rgb8_roundtrip(self, wh):
+        w, h = wh
+        rng = np.random.RandomState(w * 100 + h)
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        lines = _interlace_forward(img, 8)
+        assert (decode_png(_assemble_interlaced(w, h, 8, 2, lines))
+                == img).all()
+
+    def test_rgb8_sub_filtered_passes(self):
+        img = synth_image(21)
+        h, w, _ = img.shape
+        lines = _interlace_forward(img, 8, ftype=1)
+        assert (decode_png(_assemble_interlaced(w, h, 8, 2, lines))
+                == img).all()
+
+    def test_palette_4bit_interlaced(self):
+        rng = np.random.RandomState(44)
+        plte = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.randint(0, 16, (9, 10), dtype=np.uint8)
+        lines = _interlace_forward(idx[:, :, None], 4)
+        out = decode_png(_assemble_interlaced(10, 9, 4, 3, lines,
+                                              plte.tobytes()))
+        assert (out == plte[idx]).all()
+
+    def test_grey16_interlaced(self):
+        g8 = synth_image(14)[:, :, 1]
+        h, w = g8.shape
+        px16 = ((g8.astype(np.uint16) << 8) | g8)[:, :, None]
+        lines = _interlace_forward(px16, 16)
+        out = decode_png(_assemble_interlaced(w, h, 16, 0, lines))
+        assert (out[:, :, 0] == g8).all()
+
+    def test_interlaced_matches_sequential(self):
+        img = synth_image(77)
+        h, w, _ = img.shape
+        seq = b"".join(b"\x00" + img.reshape(h, -1)[y].tobytes()
+                       for y in range(h))
+        a = decode_png(_assemble(w, h, 2, seq))
+        b = decode_png(_assemble_interlaced(
+            w, h, 8, 2, _interlace_forward(img, 8)))
+        assert (a == b).all()
