@@ -9,20 +9,27 @@ The reference stores post media as compressed web formats
 so a faithful training-data pipeline must ingest compressed images,
 not just raw bitmaps.
 
-Decoder scope (``decode_jpeg``): baseline sequential DCT, 8-bit,
-1- or 3-component, arbitrary DQT/DHT tables (8- or 16-bit quant),
-any sampling factors (4:4:4 / 4:2:2 / 4:2:0 …), restart intervals,
-APPn/COM skip, 0xFF00 byte stuffing.  Progressive (SOF2), arithmetic
-coding, and 12-bit precision raise ``NotImplementedError`` — those
-remain the declared library slots.
+Decoder scope (``decode_jpeg``): baseline sequential DCT (SOF0/1)
+AND progressive DCT (SOF2, T.81 Annex G: spectral selection +
+successive approximation, DC/AC first and refinement scans, EOB
+runs, correction bits), 8-bit, 1- or 3-component, arbitrary DQT/DHT
+tables (8- or 16-bit quant), any sampling factors (4:4:4 / 4:2:2 /
+4:2:0 …), restart intervals, APPn/COM skip, 0xFF00 byte stuffing.
+Arithmetic coding and 12-bit precision raise ``NotImplementedError``
+— those remain the declared library slots.
 
-Encoder scope (``encode_jpeg``): the test/synthesis path — baseline,
-3-component YCbCr, 4:4:4 or 4:2:0, optional restart intervals,
-per-image canonical Huffman tables (uniform code length over the
-symbols actually emitted — valid per T.81 since tables travel in
-DHT; no Annex K dependence).  It exists so tests can round-trip the
-decoder without any external codec, and doubles as the deterministic
-compressed-payload synthesizer for the multimodal column.
+Encoder scope (``encode_jpeg`` / ``encode_jpeg_progressive``): the
+test/synthesis path — baseline or progressive (any valid scan
+script; the default is the libjpeg-shaped spectral-selection +
+successive-approximation script), 3-component YCbCr, 4:4:4 or
+4:2:0, optional restart intervals, per-image canonical Huffman
+tables (uniform code length over the symbols actually emitted —
+valid per T.81 since tables travel in DHT; no Annex K dependence).
+It exists so tests can round-trip the decoder without any external
+codec, and doubles as the deterministic compressed-payload
+synthesizer for the multimodal column.  Both encoders quantize the
+same coefficients, so progressive and baseline encodings of one
+image decode to bit-identical pixels — the tests' oracle.
 
 Everything here derives from the public T.81 spec text (marker
 layout, zigzag, EXTEND, canonical Huffman from BITS/HUFFVAL) — no
@@ -227,17 +234,84 @@ def _split_entropy(buf: bytes, start: int) -> tuple[list[bytes], int]:
     return segs, start + end
 
 
+class _SegReader:
+    """MSB-first bit reader over de-stuffed entropy segments with
+    restart-boundary resets and overrun detection — the progressive
+    twin of the inline bit buffer in ``_decode_entropy`` (same 3-byte
+    refill, same 16-byte over-read pad discipline)."""
+
+    def __init__(self, segs: list[bytes]):
+        self.blob = b"".join(segs) + b"\x00" * 16
+        ends = []
+        off = 0
+        for s in segs:
+            off += len(s)
+            ends.append(off)
+        self.seg_ends = ends
+        self.seg = 0
+        self.pos = 0
+        self.cnt = 0
+        self.buf = 0
+
+    def _refill(self):
+        b, p = self.blob, self.pos
+        self.buf = (((self.buf & ((1 << self.cnt) - 1)) << 24)
+                    | (b[p] << 16) | (b[p + 1] << 8) | b[p + 2])
+        self.pos = p + 3
+        self.cnt += 24
+
+    def decode(self, lut) -> int:
+        """One Huffman symbol via the 16-bit-peek len/sym LUTs."""
+        if self.cnt < 16:
+            self._refill()
+        peek = (self.buf >> (self.cnt - 16)) & 0xFFFF
+        ln = lut[0][peek]
+        if ln == 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        self.cnt -= ln
+        return lut[1][peek]
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.cnt < n:
+            self._refill()
+        self.cnt -= n
+        return (self.buf >> self.cnt) & ((1 << n) - 1)
+
+    @staticmethod
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def next_segment(self):
+        """Cross an RSTn boundary: verify the finished segment was not
+        overrun, restart bit buffering at the next one."""
+        if (self.pos << 3) - self.cnt > (self.seg_ends[self.seg] << 3):
+            raise EOFError("entropy segment exhausted")
+        self.seg += 1
+        if self.seg >= len(self.seg_ends):
+            raise EOFError("missing restart segment")
+        self.pos = self.seg_ends[self.seg - 1]
+        self.cnt = 0
+        self.buf = 0
+
+    def finish(self):
+        if (self.pos << 3) - self.cnt > (self.seg_ends[self.seg] << 3):
+            raise EOFError("entropy segment exhausted")
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (h, w, 3) uint8 RGB
-    (grayscale replicated across channels).  Pure numpy + python;
-    raises NotImplementedError on progressive/arithmetic/12-bit
-    streams (the declared library slots)."""
+    """Decode a baseline-sequential OR progressive JPEG to (h, w, 3)
+    uint8 RGB (grayscale replicated across channels).  Pure numpy +
+    python; raises NotImplementedError on arithmetic/12-bit streams
+    (the declared library slots)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     restart_interval = 0
     frame = None
+    prog_coefs = None
     i = 2
     while i + 4 <= len(buf):
         if buf[i] != 0xFF:
@@ -277,7 +351,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 p += 17 + nsym
         elif marker == 0xDD:               # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -286,12 +360,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended/arithmetic JPEG — plug a library "
-                "decoder in here (baseline SOF0/SOF1 decodes natively)")
+                "lossless/extended/arithmetic JPEG — plug a library "
+                "decoder in here (baseline SOF0/SOF1 and progressive "
+                "SOF2 decode natively)")
         elif marker == 0xDA:               # SOS → entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -301,6 +377,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cid)
                 scan.append((comp, tabs >> 4, tabs & 15))
+            if frame.get("progressive"):
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if prog_coefs is None:
+                    prog_coefs = _alloc_prog_coefs(frame)
+                segs, i = _split_entropy(buf, i)
+                _decode_prog_scan(frame, scan, ss, se,
+                                  ahal >> 4, ahal & 15, htables,
+                                  restart_interval, segs, prog_coefs)
+                continue
             # non-interleaved scans (ns < frame components, or a
             # single subsampled component) use per-component MCU
             # geometry (T.81 A.2: MCU = one data unit) that the
@@ -316,6 +402,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             return _decode_scan(frame, scan, qtables, htables,
                                 restart_interval, segs)
         # APPn / COM / others: skipped
+    if prog_coefs is not None:
+        return _reconstruct_progressive(frame, prog_coefs, qtables)
     raise ValueError("no SOS marker found")
 
 
@@ -535,6 +623,13 @@ def _decode_scan(frame, scan, qtables, htables, ri, segs) -> np.ndarray:
         if hmax != comp["h"]:
             p = np.repeat(p, hmax // comp["h"], axis=1)
         full.append(p[:h, :w])
+    return _to_rgb(full)
+
+
+def _to_rgb(full: list[np.ndarray]) -> np.ndarray:
+    """Color-convert decoded component planes (1 = grayscale, 3 =
+    YCbCr BT.601) to (h, w, 3) uint8 RGB — shared by the baseline and
+    progressive reconstruction paths."""
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
@@ -543,6 +638,201 @@ def _decode_scan(frame, scan, qtables, htables, ri, segs) -> np.ndarray:
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive decode
+
+def _frame_geometry(frame):
+    """(hmax, vmax, mcus_x, mcus_y) of a frame (T.81 A.1.1)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _noninterleaved_grid(frame, comp):
+    """Block-grid dims of a component in a non-interleaved scan
+    (T.81 A.2.2: ceil of the component's own downsampled pixel dims,
+    NOT the padded interleaved MCU grid)."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    chh = -(-frame["h"] * comp["v"] // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _alloc_prog_coefs(frame) -> dict[int, np.ndarray]:
+    """Per-component coefficient accumulators sized to the interleaved
+    MCU grid (always >= the non-interleaved grid; pad blocks stay zero
+    and crop away), zigzag order, accumulated across scans."""
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    return {c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                              np.int64)
+            for c in frame["comps"]}
+
+
+def _refine_ac_block(rdr, blk, ss, se, al, ac_lut, eobrun) -> int:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / Figure G.7): new ±1<<Al coefficients interleaved with
+    correction bits for every already-nonzero coefficient passed."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.decode(ac_lut)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:            # EOBn: run of all-done blocks
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.receive(r)
+                    break
+                val = 0                # ZRL: 16 zero-history skips
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan size != 1")
+                val = p1 if rdr.receive(1) else m1
+            # advance r zero-history positions, appending one
+            # correction bit per nonzero-history coefficient passed
+            while k <= se:
+                c = int(blk[k])
+                if c:
+                    if rdr.receive(1) and (abs(c) & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun:
+        # block inside an EOB run: only correction bits remain
+        while k <= se:
+            c = int(blk[k])
+            if c and rdr.receive(1) and (abs(c) & p1) == 0:
+                blk[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(frame, scan, ss, se, ah, al, htables, ri, segs,
+                      coefs):
+    """Decode one progressive scan into the per-component coefficient
+    accumulators.  Four regimes per T.81 Annex G: DC first (Ss=0,
+    Ah=0, interleaved MCU order when ns>1), DC refine (one bit/block),
+    AC first (non-interleaved, EOB-run coded), AC refine
+    (correction-bit algorithm above).  Restart markers reset the bit
+    buffer, DC predictors and the EOB run."""
+    rdr = _SegReader(segs)
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    try:
+        if ss == 0:                    # ---- DC scan
+            if se != 0:
+                raise ValueError("DC scan must have Se == 0")
+            preds = {c["id"]: 0 for c, _, _ in scan}
+            dc_luts = {c["id"]: (htables[(0, td)] if ah == 0 else None)
+                       for c, td, _ in scan}
+            if len(scan) > 1:          # interleaved MCU order
+                units = mcus_y * mcus_x
+
+                def blocks_of(u):
+                    my, mx = divmod(u, mcus_x)
+                    for comp, _, _ in scan:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                yield (comp["id"], my * comp["v"] + by,
+                                       mx * comp["h"] + bx)
+            else:                      # single component: one block/MCU
+                comp0 = scan[0][0]
+                bh, bwd = _noninterleaved_grid(frame, comp0)
+                units = bh * bwd
+
+                def blocks_of(u):
+                    yield comp0["id"], u // bwd, u % bwd
+
+            for u in range(units):
+                if ri and u and u % ri == 0:
+                    rdr.next_segment()
+                    preds = {k: 0 for k in preds}
+                for cid, by, bx in blocks_of(u):
+                    blk = coefs[cid]
+                    if ah == 0:
+                        s = rdr.decode(dc_luts[cid])
+                        diff = rdr.extend(rdr.receive(s), s) if s else 0
+                        preds[cid] += diff
+                        blk[by, bx, 0] = preds[cid] << al
+                    elif rdr.receive(1):
+                        blk[by, bx, 0] = int(blk[by, bx, 0]) | (1 << al)
+        else:                          # ---- AC scan (non-interleaved)
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be "
+                                 "non-interleaved")
+            comp0, _, ta = scan[0]
+            ac_lut = htables[(1, ta)]
+            bh, bwd = _noninterleaved_grid(frame, comp0)
+            arr = coefs[comp0["id"]]
+            eobrun = 0
+            for u in range(bh * bwd):
+                if ri and u and u % ri == 0:
+                    rdr.next_segment()
+                    eobrun = 0
+                blk = arr[u // bwd, u % bwd]
+                if ah:
+                    eobrun = _refine_ac_block(rdr, blk, ss, se, al,
+                                              ac_lut, eobrun)
+                    continue
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = rdr.decode(ac_lut)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rdr.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = rdr.extend(rdr.receive(s), s) << al
+                    k += 1
+    except IndexError:
+        raise EOFError("entropy segment exhausted") from None
+    rdr.finish()
+
+
+def _reconstruct_progressive(frame, coefs, qtables) -> np.ndarray:
+    """Final IDCT + plane assembly once every scan has been folded
+    into the coefficient accumulators — whole-image vectorized, same
+    einsum/upsample/color path as the baseline decoder."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    full = []
+    for comp in frame["comps"]:
+        arr = coefs[comp["id"]]
+        nby, nbx = arr.shape[:2]
+        deq = arr.reshape(-1, 64) * qtables[comp["tq"]]
+        blocks = np.zeros((nby * nbx, 64))
+        blocks[:, ZIGZAG] = deq
+        pix = np.einsum("ux,nuv,vy->nxy", _A,
+                        blocks.reshape(-1, 8, 8), _A,
+                        optimize=True) + 128.0
+        p = (pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+             .reshape(nby * 8, nbx * 8))
+        if vmax != comp["v"]:
+            p = np.repeat(p, vmax // comp["v"], axis=0)
+        if hmax != comp["h"]:
+            p = np.repeat(p, hmax // comp["h"], axis=1)
+        full.append(p[:h, :w])
+    return _to_rgb(full)
 
 
 # -------------------------------------------------------------- encode
@@ -579,12 +869,11 @@ def _pad_to(img: np.ndarray, my: int, mx: int) -> np.ndarray:
                   [(0, 0)] * (img.ndim - 2), mode="edge")
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Encode (h, w, 3) uint8 RGB as baseline JPEG.  ``subsampling``
-    is '444' or '420'; ``restart_interval`` > 0 emits DRI + RSTn every
-    that many MCUs (exercises the decoder's restart path)."""
+def _prep_components(pixels: np.ndarray, quality: int,
+                     subsampling: str):
+    """RGB → padded YCbCr planes → quantized zigzag coefficients:
+    the shared front half of the baseline and progressive encoders
+    (identical coefficients ⇒ bit-identical decoded pixels)."""
     if subsampling not in ("444", "420"):
         raise NotImplementedError("subsampling must be '444' or '420'")
     h, w = pixels.shape[:2]
@@ -615,6 +904,18 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     mcus_x = y.shape[1] // mcu
     mcus_y = y.shape[0] // mcu
     blocks_x = [c[0].shape[1] // 8 for c in comps]
+    return h, w, qlum, qchr, comps, coefs, mcus_x, mcus_y, blocks_x
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as baseline JPEG.  ``subsampling``
+    is '444' or '420'; ``restart_interval`` > 0 emits DRI + RSTn every
+    that many MCUs (exercises the decoder's restart path)."""
+    (h, w, qlum, qchr, comps, coefs,
+     mcus_x, mcus_y, blocks_x) = _prep_components(
+         pixels, quality, subsampling)
 
     def mcu_blocks():
         """Yield (comp_idx, zigzag_coeffs) in interleaved MCU order,
@@ -727,5 +1028,320 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
             bw.write(code, ln)
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# -------------------------------------------------- progressive encode
+
+# libjpeg-shaped default scan script: (component indices, Ss, Se, Ah,
+# Al).  Exercises every progressive regime the decoder implements —
+# interleaved DC first, spectral-selection AC bands at two precisions,
+# AC successive-approximation refinement, DC refinement.
+DEFAULT_PROGRESSIVE_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+)
+
+# spectral-selection-only script (no successive approximation):
+# progressive organization with first-scan semantics throughout
+SPECTRAL_ONLY_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 0),
+    ((0,), 1, 63, 0, 0),
+    ((1,), 1, 63, 0, 0),
+    ((2,), 1, 63, 0, 0),
+)
+
+
+class _ScanStats:
+    """Pass-1 emitter: records which Huffman symbols a scan will emit
+    (the table-building statistics pass)."""
+
+    def __init__(self):
+        self.used: set[int] = set()
+
+    def sym(self, s: int):
+        self.used.add(s)
+
+    def bits(self, v: int, n: int):
+        pass
+
+    def restart(self, n: int):
+        pass
+
+
+class _ScanWriter:
+    """Pass-2 emitter: writes the entropy-coded bytes, byte-aligning
+    and inserting RSTn at restart boundaries."""
+
+    def __init__(self, out: bytearray, enc: dict):
+        self.out = out
+        self.enc = enc
+        self.bw = _BitWriter()
+
+    def sym(self, s: int):
+        code, ln = self.enc[s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int):
+        if n:
+            self.bw.write(v, n)
+
+    def restart(self, n: int):
+        self.bw.flush()
+        self.out.extend(self.bw.out)
+        self.bw = _BitWriter()
+        self.out.extend(bytes([0xFF, 0xD0 + (n % 8)]))
+
+    def finish(self):
+        self.bw.flush()
+        self.out.extend(self.bw.out)
+
+
+def _enc_dc_scan(em, segments, al: int, refine: bool):
+    """DC scan entropy (T.81 G.1.2.1): first pass codes point-
+    transformed diffs (arithmetic shift), refinement sends bit Al of
+    each block's DC verbatim.  Predictors reset per restart segment."""
+    for si, seg_units in enumerate(segments):
+        if si:
+            em.restart(si - 1)
+        preds: dict[int, int] = {}
+        for ci, zz in seg_units:
+            v = int(zz[0]) >> al
+            if refine:
+                em.bits(v & 1, 1)
+                continue
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            s = _category(diff)
+            em.sym(s)
+            if s:
+                em.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_ac_first(em, segments, ss: int, se: int, al: int):
+    """AC first-scan entropy (T.81 G.1.2.2): sign-magnitude point
+    transform, zero runs, ZRL, and cross-block EOB runs (EOBn)."""
+    for si, seg_units in enumerate(segments):
+        if si:
+            em.restart(si - 1)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                em.sym(r << 4)
+                em.bits(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for zz in seg_units:
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    em.sym(0xF0)
+                    run -= 16
+                s = t.bit_length()
+                em.sym((run << 4) | s)
+                em.bits(t if v > 0 else (1 << s) - 1 - t, s)
+                run = 0
+            if run:                    # trailing zeros → EOB this block
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+
+def _enc_ac_refine(em, segments, ss: int, se: int, al: int):
+    """AC refinement entropy (T.81 G.1.2.3): newly-nonzero
+    coefficients code as (run<<4)|1 + sign bit; already-nonzero
+    coefficients buffer one correction bit each.  Two buffers, as in
+    the decoder's read order: ``be`` holds bits owned by the pending
+    EOB run (read right after the EOBn symbol, block by block) and
+    ``br`` holds the current block's bits since its last symbol
+    (read after the NEXT run/ZRL symbol's payload).  Mixing them
+    desyncs the decoder whenever an EOB run breaks mid-block."""
+    for si, seg_units in enumerate(segments):
+        if si:
+            em.restart(si - 1)
+        eobrun = 0
+        be: list[int] = []             # bits of EOB-run-covered blocks
+        br: list[int] = []             # current block, since last symbol
+
+        def emit_br():
+            for b in br:
+                em.bits(b, 1)
+            del br[:]
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                em.sym(r << 4)
+                em.bits(eobrun - (1 << r), r)
+                eobrun = 0
+                for b in be:
+                    em.bits(b, 1)
+                del be[:]
+
+        for zz in seg_units:
+            band = [int(zz[k]) for k in range(ss, se + 1)]
+            absv = [abs(v) >> al for v in band]
+            eobpos = -1
+            for j in range(len(absv) - 1, -1, -1):
+                if absv[j] == 1:
+                    eobpos = j
+                    break
+            r = 0
+            for j, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs not foldable into the EOB must flush first
+                while r > 15 and j <= eobpos:
+                    flush_eob()
+                    em.sym(0xF0)
+                    r -= 16
+                    emit_br()
+                if t > 1:              # history coefficient: 1 bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                em.sym((r << 4) | 1)
+                r = 0
+                em.bits(1 if band[j] > 0 else 0, 1)
+                emit_br()
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)          # bits now belong to the run
+                del br[:]
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
+                            subsampling: str = "444",
+                            scans=DEFAULT_PROGRESSIVE_SCANS,
+                            restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as progressive JPEG (SOF2) with the
+    given scan script — tuples of (component indices, Ss, Se, Ah,
+    Al).  Same coefficients as :func:`encode_jpeg` at equal quality/
+    subsampling, so both decode to bit-identical pixels.  Each scan
+    redefines Huffman table 0 of its class from that scan's own
+    symbol statistics; restart_interval > 0 emits DRI + RSTn every
+    that many MCUs (interleaved DC scans) / blocks (all others)."""
+    (h, w, qlum, qchr, comps, coefs,
+     mcus_x, mcus_y, blocks_x) = _prep_components(
+         pixels, quality, subsampling)
+
+    def dc_units(comp_ids):
+        """Interleaved MCU units (lists of (ci, zz)) or single-block
+        units for a one-component DC scan."""
+        if len(comp_ids) > 1:
+            units = []
+            for m in range(mcus_y * mcus_x):
+                my, mx = divmod(m, mcus_x)
+                blks = []
+                for ci in comp_ids:
+                    _, ch, cv, _, _ = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            bi = ((my * cv + by) * blocks_x[ci]
+                                  + mx * ch + bx)
+                            blks.append((ci, coefs[ci][bi]))
+                units.append(blks)
+            return units
+        return [[u] for u in ac_units(comp_ids[0], with_ci=True)]
+
+    def ac_units(ci, with_ci=False):
+        """Non-interleaved block units over the component's TRUE
+        ceil-dim grid (pad blocks of the padded plane are skipped —
+        they never appear in a non-interleaved scan)."""
+        _, ch, cv, _, _ = comps[ci]
+        hmax = comps[0][1]             # luma carries the max factors
+        vmax = comps[0][2]
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        tw, th = -(-cw // 8), -(-chh // 8)
+        out = []
+        for u in range(th * tw):
+            bi = (u // tw) * blocks_x[ci] + u % tw
+            out.append((ci, coefs[ci][bi]) if with_ci else coefs[ci][bi])
+        return out
+
+    def segmented(units):
+        if not restart_interval:
+            return [units]
+        return [units[p: p + restart_interval]
+                for p in range(0, len(units), restart_interval)]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(qlum[ZIGZAG].astype(np.uint8)))
+    seg(0xDB, bytes([0x01]) + bytes(qchr[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci, (_, ch, cv, tq, _) in enumerate(comps):
+        sof += struct.pack(">BBB", ci + 1, (ch << 4) | cv, tq)
+    seg(0xC2, sof)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    for comp_ids, ss, se, ah, al in scans:
+        if ss == 0:
+            units = dc_units(comp_ids)
+            segments = [[b for unit in chunk for b in unit]
+                        for chunk in segmented(units)]
+            refine = ah > 0
+            enc: dict = {}
+            if not refine:
+                st = _ScanStats()
+                _enc_dc_scan(st, segments, al, False)
+                counts, symbols, enc = _uniform_huffman(st.used)
+                seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(symbols))
+            sos = bytes([len(comp_ids)])
+            for ci in comp_ids:
+                sos += struct.pack(">BB", ci + 1, 0x00)
+            sos += bytes([ss, se, (ah << 4) | al])
+            seg(0xDA, sos)
+            wr = _ScanWriter(out, enc)
+            _enc_dc_scan(wr, segments, al, refine)
+            wr.finish()
+        else:
+            if len(comp_ids) != 1:
+                raise ValueError("progressive AC scan must cover "
+                                 "exactly one component")
+            ci = comp_ids[0]
+            segments = segmented(ac_units(ci))
+            fn = _enc_ac_refine if ah else _enc_ac_first
+            st = _ScanStats()
+            fn(st, segments, ss, se, al)
+            counts, symbols, enc = _uniform_huffman(st.used)
+            seg(0xC4, bytes([0x10]) + bytes(counts) + bytes(symbols))
+            sos = bytes([1]) + struct.pack(">BB", ci + 1, 0x00) \
+                + bytes([ss, se, (ah << 4) | al])
+            seg(0xDA, sos)
+            wr = _ScanWriter(out, enc)
+            fn(wr, segments, ss, se, al)
+            wr.finish()
+
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -16,14 +16,16 @@ needed, everything is pure numpy over Arrow batches in ``mapInPandas``:
   features.
 
 Compressed images decode natively too, via from-scratch pure-numpy
-codecs: baseline sequential JPEG (``..jpeg`` — T.81 marker parse, any
-DHT/DQT, 4:2:0/4:2:2/4:4:4, restart intervals, table-driven Huffman)
-and PNG at 8/16-bit + palette (``..png`` — zlib inflate + all five
-scanline filters, wavefront-vectorized; lossless, so the
-driver-checked decode entry runs over PNG with its full relational
-oracle).  ``decode_stub='jpeg'``/``'png'`` run REAL compressed round
-trips end-to-end.  Formats still needing a library (progressive
-JPEG, MP3/AAC) keep the declared stub slot —
+codecs: baseline sequential AND progressive JPEG (``..jpeg`` — T.81
+marker parse, any DHT/DQT, 4:2:0/4:2:2/4:4:4, restart intervals,
+table-driven Huffman; SOF2 spectral selection + successive
+approximation since round 4) and PNG at 8/16-bit + palette
+(``..png`` — zlib inflate + all five scanline filters,
+wavefront-vectorized; lossless, so the driver-checked decode entry
+runs over PNG with its full relational oracle).
+``decode_stub='jpeg'``/``'pjpeg'``/``'png'`` run REAL compressed
+round trips end-to-end.  Formats still needing a library (MP3/AAC,
+WebP) keep the declared stub slot —
 ``decode_stub='fake'`` produces a deterministic fake feature vector,
 ``decode_stub='raise'`` raises NotImplementedError — and the library
 seam is WIRED: ``SPARK_GRAFT_IMAGE_LIBRARY=1`` + an installed PIL
@@ -142,8 +144,9 @@ def synth_image(doc_id: int) -> np.ndarray:
 
 # Feature flag for the wired library path: when set truthy AND PIL is
 # importable, decode_image routes through PIL FIRST, covering the
-# formats the native codecs declare as slots (progressive JPEG,
-# WebP, ...).  tests/test_multimodal.py carries a
+# formats the native codecs declare as slots (WebP, arithmetic-coded
+# JPEG, ...) and the ~100x-faster hot path for the formats that also
+# decode natively.  tests/test_multimodal.py carries a
 # skip-if-absent parity test against the native baseline-JPEG path.
 IMAGE_LIBRARY_ENV = "SPARK_GRAFT_IMAGE_LIBRARY"
 
@@ -166,10 +169,11 @@ def _library_decode(buf: bytes) -> np.ndarray | None:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Format-dispatching image decode: BMP, baseline JPEG and PNG
-    (8/16-bit, palette) decode natively (magic-byte sniff); with
-    ``SPARK_GRAFT_IMAGE_LIBRARY`` set and PIL installed, the library
-    decodes instead (the ~100x path for a real media crawl)."""
+    """Format-dispatching image decode: BMP, JPEG (baseline AND
+    progressive) and PNG (8/16-bit, palette) decode natively
+    (magic-byte sniff); with ``SPARK_GRAFT_IMAGE_LIBRARY`` set and PIL
+    installed, the library decodes instead (the ~100x path for a real
+    media crawl)."""
     lib = _library_decode(buf)
     if lib is not None:
         return lib
@@ -183,7 +187,7 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_png(buf)
     raise NotImplementedError(
         "unrecognized image format — set SPARK_GRAFT_IMAGE_LIBRARY "
-        "with PIL installed for WebP/progressive-JPEG (BMP, baseline "
+        "with PIL installed for WebP etc. (BMP, baseline + progressive "
         "JPEG and 8/16-bit/palette PNG decode natively)")
 
 
@@ -192,8 +196,9 @@ def image_payloads(spark, sf_dir, fmt: str = "bmp"):
     REAL image bytes, synthesized deterministically in an Arrow batch
     pass (binary blobs cannot come from JVM expressions).  ``fmt`` is
     'bmp' (raw), 'png' (compressed LOSSLESS — zlib/filtered, decodes
-    back pixel-exact) or 'jpeg' (baseline 4:2:0 lossy via the
-    from-scratch T.81 encoder)."""
+    back pixel-exact), 'jpeg' (baseline 4:2:0 lossy via the
+    from-scratch T.81 encoder) or 'pjpeg' (progressive SOF2, same
+    coefficients as 'jpeg' at equal settings)."""
     def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if fmt == "jpeg":
             from ..jpeg import encode_jpeg
@@ -201,6 +206,12 @@ def image_payloads(spark, sf_dir, fmt: str = "bmp"):
             def enc(i):
                 return encode_jpeg(synth_image(i), quality=90,
                                    subsampling="420")
+        elif fmt == "pjpeg":
+            from ..jpeg import encode_jpeg_progressive
+
+            def enc(i):
+                return encode_jpeg_progressive(synth_image(i), quality=90,
+                                               subsampling="420")
         elif fmt == "png":
             from ..png import encode_png
 
@@ -246,12 +257,12 @@ def decode_features_iter(decode_stub: str = "bmp"):
     """mapInPandas body: (doc_id, payload binary) → (doc_id, feature
     array<double>).
 
-    ``decode_stub='bmp'``/``'jpeg'`` run the REAL decode via the
-    magic-sniffing ``decode_image`` (BMP header parse or full T.81
-    baseline entropy decode) → block-mean thumbnail → features, pure
-    numpy.  ``'fake'`` keeps the deterministic byte-stripe stand-in
-    (any payload), ``'raise'`` marks the PIL/ffmpeg slot for the
-    remaining library formats."""
+    ``decode_stub='bmp'``/``'jpeg'``/``'pjpeg'``/``'png'`` run the
+    REAL decode via the magic-sniffing ``decode_image`` (BMP header
+    parse or full T.81 baseline/progressive entropy decode) →
+    block-mean thumbnail → features, pure numpy.  ``'fake'`` keeps
+    the deterministic byte-stripe stand-in (any payload), ``'raise'``
+    marks the PIL/ffmpeg slot for the remaining library formats."""
 
     def fake_decode(buf: bytes) -> np.ndarray:
         # deterministic fake: FEATURE_DIM means over byte stripes
@@ -268,7 +279,7 @@ def decode_features_iter(decode_stub: str = "bmp"):
                 raise NotImplementedError(
                     "compressed image/audio decode requires PIL/ffmpeg "
                     "— plug the decoder in here")
-            if decode_stub in ("bmp", "png", "jpeg"):
+            if decode_stub in ("bmp", "png", "jpeg", "pjpeg"):
                 feats = [image_features(decode_image(b))
                          for b in pdf["payload"].values]
             else:
@@ -288,8 +299,8 @@ def multimodal_decode_features(spark, sf_dir, decode_stub: str = "bmp"):
     docstring) over real BMP bytes; ``'png'`` / ``'jpeg'`` run the
     same pipeline over COMPRESSED payloads through the native codecs
     (PNG losslessly — features identical to the BMP path bit for
-    bit; JPEG lossy 4:2:0)."""
-    if decode_stub in ("bmp", "png", "jpeg"):
+    bit; JPEG lossy 4:2:0, ``'pjpeg'`` = progressive SOF2)."""
+    if decode_stub in ("bmp", "png", "jpeg", "pjpeg"):
         p = image_payloads(spark, sf_dir, fmt=decode_stub)
     else:
         p = binary_payloads(spark, sf_dir)

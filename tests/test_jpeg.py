@@ -129,9 +129,11 @@ class TestHandBuiltConformance:
         img = decode_jpeg(bytes(out))
         assert (img == 203).all()
 
-    def test_progressive_raises_not_implemented(self):
+    def test_arithmetic_coding_raises_not_implemented(self):
+        """SOF9 (arithmetic sequential) stays a declared library slot
+        (progressive SOF2 decodes natively since round 4)."""
         out = bytearray(b"\xff\xd8")
-        _seg(out, 0xC2, struct.pack(">BHHB", 8, 8, 8, 1)
+        _seg(out, 0xC9, struct.pack(">BHHB", 8, 8, 8, 1)
              + struct.pack(">BBB", 1, 0x11, 0))
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(out))
