@@ -279,6 +279,19 @@ class _SegReader:
         self.cnt -= n
         return (self.buf >> self.cnt) & ((1 << n) - 1)
 
+    def receive_bits(self, n: int) -> np.ndarray:
+        """``n`` individual bits in stream order as a uint8 array —
+        the batch form of ``receive(1)`` for AC-refinement correction
+        bits (same bits, same order, one refill per 16)."""
+        out = np.empty(n, np.uint8)
+        i = 0
+        while i < n:
+            c = min(16, n - i)
+            v = self.receive(c)
+            out[i:i + c] = (v >> np.arange(c - 1, -1, -1)) & 1
+            i += c
+        return out
+
     @staticmethod
     def extend(v: int, s: int) -> int:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -676,6 +689,13 @@ def _refine_ac_block(rdr, blk, ss, se, al, ac_lut, eobrun) -> int:
     G.1.2.3 / Figure G.7): new ±1<<Al coefficients interleaved with
     correction bits for every already-nonzero coefficient passed."""
     p1, m1 = 1 << al, -(1 << al)
+    # One bulk numpy->list conversion per block: the walk below touches
+    # up to 63 coefficients per Huffman symbol, and per-element numpy
+    # scalar indexing is ~10x a Python list access (this function is
+    # the progressive decoder's hot loop — 65% of decode time before
+    # this change).  Mutations write back vectorized at the end.
+    vals = blk.tolist()
+    dirty = False
     k = ss
     if eobrun == 0:
         while k <= se:
@@ -695,26 +715,31 @@ def _refine_ac_block(rdr, blk, ss, se, al, ac_lut, eobrun) -> int:
             # advance r zero-history positions, appending one
             # correction bit per nonzero-history coefficient passed
             while k <= se:
-                c = int(blk[k])
+                c = vals[k]
                 if c:
                     if rdr.receive(1) and (abs(c) & p1) == 0:
-                        blk[k] = c + (p1 if c > 0 else m1)
+                        vals[k] = c + (p1 if c > 0 else m1)
+                        dirty = True
                 else:
                     if r == 0:
                         break
                     r -= 1
                 k += 1
             if val and k <= se:
-                blk[k] = val
+                vals[k] = val
+                dirty = True
             k += 1
     if eobrun:
         # block inside an EOB run: only correction bits remain
         while k <= se:
-            c = int(blk[k])
+            c = vals[k]
             if c and rdr.receive(1) and (abs(c) & p1) == 0:
-                blk[k] = c + (p1 if c > 0 else m1)
+                vals[k] = c + (p1 if c > 0 else m1)
+                dirty = True
             k += 1
         eobrun -= 1
+    if dirty:
+        blk[:] = vals
     return eobrun
 
 

@@ -20,7 +20,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from moera_search_spark.adpcm import encode_adpcm_wav  # noqa: E402
-from moera_search_spark.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+from moera_search_spark.jpeg import (  # noqa: E402
+    decode_jpeg, encode_jpeg, encode_jpeg_progressive)
 from moera_search_spark.operators.multimodal import decode_wav  # noqa: E402
 from moera_search_spark.png import decode_png  # noqa: E402
 
@@ -102,6 +103,9 @@ def main():
                   encode_jpeg(img, 85, sub), px, reps)
         bench("JPEG decode (q85 420 ri=8)", decode_jpeg,
               encode_jpeg(img, 85, "420", restart_interval=8), px, reps)
+        for sub in ("444", "420"):
+            bench(f"progressive JPEG decode (q85 {sub})", decode_jpeg,
+                  encode_jpeg_progressive(img, 85, sub), px, reps)
     sr, secs = 8000, 10.0
     t = np.arange(int(sr * secs)) / sr
     clip = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
