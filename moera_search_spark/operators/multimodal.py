@@ -12,8 +12,10 @@ needed, everything is pure numpy over Arrow batches in ``mapInPandas``:
   + block-mean resize (thumbnailing) + feature extraction;
 * video — frame-sequence container of BMP frames: frame-sample every
   k-th frame, decode it, mean-pool per-frame features;
-* audio — PCM16 RIFF/WAVE: chunk walk + sample decode + windowed RMS
-  features.
+* audio — RIFF/WAVE chunk walk + windowed RMS features: PCM16, IMA
+  ADPCM (``..adpcm``), G.711 u-law/A-law (``..g711``), plus native
+  LOSSLESS FLAC (``..flac`` — so FLAC features are bit-identical to
+  the PCM path, the audio twin of the PNG oracle story).
 
 Compressed images decode natively too, via from-scratch pure-numpy
 codecs: baseline sequential AND progressive JPEG (``..jpeg`` — T.81
@@ -479,11 +481,29 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
 
 
+def encode_g711_wav(samples: np.ndarray, rate: int = 8000,
+                    law: str = "ulaw") -> bytes:
+    """Mono G.711 WAV writer (format tag 7 = mu-law / 6 = A-law) —
+    the 2:1 companded synthesis path, mirroring ``encode_wav``."""
+    from ..g711 import encode_alaw, encode_ulaw
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(np.int32)
+    data = (encode_ulaw if law == "ulaw" else encode_alaw)(pcm)
+    tag = 7 if law == "ulaw" else 6
+    hdr = b"RIFF" + struct.pack("<I", 50 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 18, tag, 1, rate, rate,
+                                1, 8) + b"\x00\x00"
+    fact = b"fact" + struct.pack("<II", 4, len(data))
+    return (hdr + fmt + fact + b"data"
+            + struct.pack("<I", len(data)) + data)
+
+
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     """Pure-numpy WAV decode: chunk walk → float64 samples in [-1, 1]
-    + sample rate.  PCM16 (tag 1) and IMA ADPCM (tag 0x11, via the
-    from-scratch ``..adpcm`` codec) decode natively; perceptual
-    codecs (MP3/AAC) remain the ffmpeg plug-in slot."""
+    + sample rate.  PCM16 (tag 1), IMA ADPCM (tag 0x11, via the
+    from-scratch ``..adpcm`` codec) and G.711 A-law/mu-law (tags
+    6/7, via the ``..g711`` LUTs) decode natively; perceptual codecs
+    (MP3/AAC) remain the ffmpeg plug-in slot."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     off = 12
@@ -496,10 +516,11 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             fmt_tag, _ch, rate, _br, block_align = \
                 struct.unpack_from("<HHIIH", body, 0)
-            if fmt_tag not in (1, 0x11):
+            if fmt_tag not in (1, 0x11, 6, 7):
                 raise NotImplementedError(
-                    "PCM and IMA ADPCM wav decode natively; perceptual "
-                    "audio codecs (MP3/AAC) plug in ffmpeg here")
+                    "PCM, IMA ADPCM and G.711 wav decode natively; "
+                    "perceptual audio codecs (MP3/AAC) plug in ffmpeg "
+                    "here")
         elif cid == b"fact":
             (n_samples,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
@@ -522,8 +543,29 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
             if rem >= 4:
                 n_samples += 1 + (rem - 4) * 2
         return decode_adpcm_data(data, block_align, n_samples), rate
+    if fmt_tag in (6, 7):
+        from ..g711 import decode_alaw, decode_ulaw
+
+        dec = decode_ulaw if fmt_tag == 7 else decode_alaw
+        return dec(data).astype(np.float64) / 32767.0, rate
     return np.frombuffer(data, dtype="<i2").astype(np.float64) \
         / 32767.0, rate
+
+
+def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """Format-dispatching audio decode (magic-byte sniff, mirroring
+    ``decode_image``): FLAC decodes via the from-scratch lossless
+    codec (multi-channel mixed down to mono for the feature stage),
+    everything else walks the RIFF/WAVE path."""
+    if buf[:4] == b"fLaC":
+        from ..flac import decode_flac, parse_streaminfo
+
+        pcm, rate = decode_flac(buf)
+        full = float((1 << (parse_streaminfo(buf)["bps"] - 1)) - 1)
+        mono = pcm.mean(axis=0) if pcm.shape[0] > 1 \
+            else pcm[0].astype(np.float64)
+        return mono / full, rate
+    return decode_wav(buf)
 
 
 def synth_audio(doc_id: int, n: int = 4000) -> np.ndarray:
@@ -548,17 +590,28 @@ def audio_window_features(spark, sf_dir, codec: str = "pcm"):
     """(doc_id) → windowed RMS features via a real WAV decode per row,
     Arrow-batched.  ``codec='adpcm'`` routes the payload through the
     4:1-compressed IMA ADPCM encode→decode round trip instead of
-    PCM16 — the compressed-audio-ingest path."""
+    PCM16, ``'ulaw'``/``'alaw'`` through the 2:1 G.711 round trip,
+    ``'flac'`` through the LOSSLESS FLAC round trip — the
+    compressed-audio-ingest paths."""
     def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if codec == "adpcm":
             from ..adpcm import encode_adpcm_wav as enc
+        elif codec in ("ulaw", "alaw"):
+            def enc(s):
+                return encode_g711_wav(s, law=codec)
+        elif codec == "flac":
+            from ..flac import encode_flac
+
+            def enc(s):
+                pcm = (np.clip(s, -1.0, 1.0) * 32767.0).astype(np.int16)
+                return encode_flac(pcm[None, :], 8000)
         else:
             enc = encode_wav
         for pdf in pdf_iter:
             ids = pdf["doc_id"].values
             feats = []
             for i in ids:
-                samples, _rate = decode_wav(enc(synth_audio(int(i))))
+                samples, _rate = decode_audio(enc(synth_audio(int(i))))
                 feats.append(audio_features(samples).tolist())
             yield pd.DataFrame({"doc_id": ids, "features": feats})
 

@@ -108,13 +108,29 @@ def main():
                   encode_jpeg_progressive(img, 85, sub), px, reps)
     sr, secs = 8000, 10.0
     t = np.arange(int(sr * secs)) / sr
-    clip = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
-    wav = encode_adpcm_wav(clip, sr)
-    t0 = time.perf_counter()
-    decode_wav(wav)
-    dt = time.perf_counter() - t0
-    print(f"{'ADPCM decode (10 s @ 8 kHz)':34s} {dt * 1e3:8.2f} ms  "
-          f"{len(clip) / dt / 1e6:8.3f} Msamples/s")
+    rng = np.random.RandomState(7)
+    clip = (np.sin(2 * np.pi * 440 * t) * 12000
+            + rng.normal(0, 40, t.shape)).astype(np.int16)
+
+    def audio_bench(label, fn, payload, n, reps=5):
+        fn(payload)
+        best = min(_timed(fn, payload) for _ in range(reps))
+        print(f"{label:34s} {best * 1e3:8.2f} ms  "
+              f"{n / best / 1e6:8.3f} Msamples/s")
+
+    def _timed(fn, payload):
+        t0 = time.perf_counter()
+        fn(payload)
+        return time.perf_counter() - t0
+
+    audio_bench("ADPCM decode (10 s @ 8 kHz)", decode_wav,
+                encode_adpcm_wav(clip / 32767.0, sr), len(clip))
+    from moera_search_spark.flac import decode_flac, encode_flac
+    audio_bench("FLAC decode (10 s @ 8 kHz)", decode_flac,
+                encode_flac(clip[None, :], sr), len(clip))
+    from moera_search_spark.operators.multimodal import encode_g711_wav
+    audio_bench("G.711 u-law decode (10 s @ 8 kHz)", decode_wav,
+                encode_g711_wav(clip / 32767.0, sr), len(clip))
 
 
 if __name__ == "__main__":
