@@ -26,10 +26,31 @@ import pandas as pd
 
 N_HASHES = 16
 N_BANDS = 8  # rows-per-band = 2
-_MERSENNE = (1 << 61) - 1
-# deterministic affine permutation constants (seeded, fixed)
-_PERM_A = [3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61]
-_PERM_B = [5, 9, 15, 21, 25, 27, 33, 35, 39, 45, 49, 51, 55, 57, 63, 65]
+# Per-permutation 48-bit XOR masks, derived deterministically so every
+# engine (numpy pass, DuckDB oracle, pure-python test oracle) can
+# reproduce them: mask_i = first 12 hex chars of md5("perm{i}").
+#
+# Why XOR and not the affine family (a_i·h + b_i) mod (2^61−1) used
+# through round 3: with h < 2^48 and small a_i, a_i·h + b_i < 2^54
+# NEVER wraps the Mersenne modulus, so every "permutation" was
+# monotonic in h — all 16 picked the SAME argmin shingle, collapsing
+# MinHash to a single hash function and making band amplification a
+# no-op (band collision was all-or-nothing: P = J, not 1−(1−J^r)^b).
+# XOR with independent masks re-ranks the shingle set per permutation
+# inside int64 on every engine (h ^ mask stays < 2^48; no wraparound
+# to emulate).  The XOR family is not min-wise independent in theory
+# — it is the standard practical compromise when the engines share
+# only 64-bit integer arithmetic — and its banding behavior is
+# empirically restored (see tests/test_dedup.py chain test: adjacent
+# near-dups collide on some band, far pairs don't).
+def _xor_masks(n: int) -> list[int]:
+    from hashlib import md5
+
+    return [int(md5(f"perm{i}".encode()).hexdigest()[:12], 16)
+            for i in range(n)]
+
+
+_XOR_MASKS = _xor_masks(N_HASHES)
 
 JACCARD_THRESHOLD = 0.2
 
@@ -91,7 +112,7 @@ def _shingle_minhash_iter(with_shingles: bool, with_sigs: bool,
     ``array_min`` chains) are evaluated INTERPRETED per element —
     measured 10 s to materialize signatures+bands for 5k docs / 256k
     shingles at sf0.1, vs ~0.5 s single-core for this path (regex
-    split and md5 are C loops; the 16 affine mins are numpy
+    split and md5 are C loops; the 16 XOR-permuted mins are numpy
     ``minimum.reduceat`` over the batch-flattened hash array).  Still
     row-local: no shuffle, no python round trip besides the one Arrow
     batch transfer this operator already pays.
@@ -102,17 +123,16 @@ def _shingle_minhash_iter(with_shingles: bool, with_sigs: bool,
       non-ASCII case-folding never produces ``[a-z0-9]`` differences
       for the simple mappings all three engines use);
     * h = int(md5(utf8)[:12 hex], 16) ≡ ``conv(substring(md5(s),1,12),
-      16,10)`` — 48-bit, so h·a+b < 2^61+2^54 fits int64;
-    * (h·a+b) mod (2^61−1) via the Mersenne fold
-      ``(x & M) + (x >> 61)`` then one conditional subtract —
-      bit-identical to ``%`` for these ranges (property-tested).
+      16,10)`` — 48-bit, so h ^ mask stays 48-bit and int64-safe;
+    * permutation i = XOR with ``_XOR_MASKS[i]`` (see the constants
+      comment for why XOR replaced the round-3 affine family) —
+      identical integer result in numpy, DuckDB ``xor()`` and python.
     """
     import re as _re
     from hashlib import md5 as _md5
 
     split = _re.compile(r"[^a-z0-9]+")
-    A = [int(a) for a in _PERM_A[:n_hashes]]
-    B = [int(b) for b in _PERM_B[:n_hashes]]
+    masks = [int(m) for m in _XOR_MASKS[:n_hashes]]
 
     def fn(pdf_iter):
         for pdf in pdf_iter:
@@ -145,11 +165,8 @@ def _shingle_minhash_iter(with_shingles: bool, with_sigs: bool,
                     starts = np.zeros(len(lens), dtype=np.intp)
                     np.cumsum(lens[:-1], out=starts[1:])
                     for i in range(n_hashes):
-                        x = vals * A[i]
-                        x += B[i]
-                        r = (x & _MERSENNE) + (x >> 61)
-                        r -= (r >= _MERSENNE) * _MERSENNE
-                        out[f"mh{i}"] = np.minimum.reduceat(r, starts)
+                        out[f"mh{i}"] = np.minimum.reduceat(
+                            vals ^ masks[i], starts)
                 else:
                     for i in range(n_hashes):
                         out[f"mh{i}"] = pd.Series([], dtype="int64")
@@ -266,12 +283,12 @@ DEDUP_NGRAM_JACCARD_SQL = f"""
 def _shingle_hash_col(F, col):
     """48-bit integer from md5 hex — deterministic on any engine and in
     pure python (int(md5(s).hexdigest()[:12], 16)); 48 bits keeps
-    a_i·h + b_i inside int64 for every permutation constant."""
+    h ^ mask_i inside int64 for every permutation mask."""
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
 def minhash_signatures(spark, sf_dir, n_hashes: int = N_HASHES):
-    """MinHash signature per doc: h_i(x) = (a_i·x + b_i) mod M over the
+    """MinHash signature per doc: h_i(x) = x ^ mask_i over the
     md5-derived shingle hashes; min per permutation.
 
     Row-local AND vectorized: one Arrow pass computes shingles, 48-bit
@@ -395,15 +412,15 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 def _minhash_lsh_sql() -> str:
     """DuckDB twin of dedup_minhash_lsh — same md5-derived 48-bit
-    shingle hash, same affine permutations min-folded per doc
-    (integers stay inside int64: h < 2^48, a_i ≤ 61), same
+    shingle hash, same XOR permutation masks min-folded per doc
+    (integers stay inside int64: h < 2^48, masks 48-bit), same
     md5-of-joined-rows band buckets, same candidate join + exact
     Jaccard verify.  Converts the entry from rows-only to full hash
     verification (VERDICT round 2 item 2); the pure-python oracle in
     tests stays as belt-and-braces."""
     rpb = N_HASHES // N_BANDS
     sig_cols = ",\n             ".join(
-        f"min((h * {_PERM_A[i]} + {_PERM_B[i]}) % {_MERSENNE}) AS mh{i}"
+        f"min(xor(h, {_XOR_MASKS[i]})) AS mh{i}"
         for i in range(N_HASHES))
     band_rows = "\n      UNION ALL\n".join(
         "      SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig"
@@ -543,11 +560,101 @@ DEDUP_EMBEDDING_COSINE_SQL = """
 """
 
 
+def dedup_lsh_clusters(spark, sf_dir, max_iters: int = 25):
+    """Near-dup CLUSTERS from the verified LSH pairs: connected
+    components → one canonical doc per cluster.  Pair output alone
+    does not deduplicate a corpus — transitive chains (A~B, B~C with
+    A!~C) must collapse to one keeper, so the last stage of a real
+    dedup pipeline is components over the similarity graph.
+
+    Algorithm: iterative min-label propagation over the symmetrized
+    edge set — each round is ONE shuffle (edges ⋈ labels, then
+    groupBy-min), labels monotonically decrease, and convergence
+    (no label shrank) is checked with a bounded limit(1) probe.
+    Rounds needed = component diameter; near-dup clusters are
+    chain-shaped and shallow in practice, and the hard cap fails
+    LOUDLY rather than emitting a half-converged labeling.  At the
+    10^12-doc design point the same loop shape carries over
+    (per-round cost is one edge-sized shuffle; the alternating
+    large-star/small-star variant that contracts diameter to
+    O(log n) rounds is the drop-in upgrade if crawls surface deep
+    chains — same join/agg primitives, more rounds fused).
+
+    Each generation is persisted and released through the same
+    one-generation cache as ``dedup_minhash_lsh`` (storage cannot
+    grow across invocations).  Oracle: DuckDB recursive CTE over the
+    identical pairs SQL — min reachable id per node IS the component
+    minimum."""
+    from pyspark.sql import functions as F
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst")))
+        .distinct().persist())
+    _LSH_PERSIST_CACHE.append(edges)
+    labels = (edges.select(F.col("src").alias("node"),
+                           F.col("src").alias("lbl"))
+              .distinct().persist())
+    _LSH_PERSIST_CACHE.append(labels)
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), F.col("lbl")))
+        new_labels = (labels.union(prop).groupBy("node")
+                      .agg(F.min("lbl").alias("lbl")).persist())
+        _LSH_PERSIST_CACHE.append(new_labels)
+        shrank = (new_labels.alias("n")
+                  .join(labels.alias("o"), "node")
+                  .filter(F.col("n.lbl") < F.col("o.lbl"))
+                  .limit(1).count())
+        labels = new_labels
+        if shrank == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            "— component diameter exceeds the cap; raise max_iters or "
+            "switch to large-star/small-star contraction")
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "lbl")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("lbl").alias("canonical_id"),
+                    "cluster_size"))
+
+
+DEDUP_LSH_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({DEDUP_MINHASH_LSH_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach AS (
+      SELECT src AS node, src AS lbl FROM edges
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r
+      JOIN edges e ON e.src = r.node),
+    labels AS (
+      SELECT node, MIN(lbl) AS canonical FROM reach GROUP BY node)
+    SELECT l.node AS doc_id, l.canonical AS canonical_id,
+           c.n AS cluster_size
+    FROM labels l
+    JOIN (SELECT canonical, COUNT(*) AS n FROM labels GROUP BY 1) c
+      ON c.canonical = l.canonical
+"""
+
+
+# dedup_embedding_cosine stays implemented + DuckDB-parity-tested in
+# pytest (tests/test_dedup.py) but yields its driver-catalog slot to
+# dedup_lsh_clusters: the ≤50-entry window should spend its rows on
+# distinct capabilities, and brute-force cosine pairing shares its
+# whole expression surface with ann_cosine_topk (same dot/norm
+# aggregate), while cluster canonicalization is a capability nothing
+# else in the catalog exercises.
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_lsh_clusters": (dedup_lsh_clusters, DEDUP_LSH_CLUSTERS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
-    "dedup_embedding_cosine":
-        (dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
 }

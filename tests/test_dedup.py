@@ -11,9 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from moera_search_spark.operators.dedup import (
-    _MERSENNE,
-    _PERM_A,
-    _PERM_B,
+    _XOR_MASKS,
     JACCARD_THRESHOLD,
     N_HASHES,
     dedup_minhash_lsh,
@@ -52,8 +50,7 @@ class TestMinHash:
                 continue
             hs = [_py_hash48(s) for s in shingles]
             for i in range(N_HASHES):
-                exp = min((h * _PERM_A[i] + _PERM_B[i]) % _MERSENNE
-                          for h in hs)
+                exp = min(h ^ _XOR_MASKS[i] for h in hs)
                 assert got[int(row["doc_id"])][f"mh{i}"] == exp
             checked += 1
         assert checked > 10
@@ -69,7 +66,7 @@ class TestMinHash:
                 continue
             hs = [_py_hash48(s) for s in sh]
             sigs[int(row["doc_id"])] = [
-                min((h * _PERM_A[i] + _PERM_B[i]) % _MERSENNE for h in hs)
+                min(h ^ _XOR_MASKS[i] for h in hs)
                 for i in range(N_HASHES)]
             shingle_sets[int(row["doc_id"])] = sh
         buckets: dict[tuple, list[int]] = {}
@@ -130,3 +127,110 @@ def test_minhash_lsh_releases_executor_storage(spark):
     n_after = jsc.getPersistentRDDs().size()
     # one generation (cand + shingle arrays) may legitimately stay
     assert n_after <= 2, f"persisted RDDs grew to {n_after}"
+
+
+class TestLshClusters:
+    def test_clusters_match_union_find_oracle(self, spark, docs_pdf):
+        """Canonical labeling = connected components of the verified
+        LSH pair graph — reproduced with a plain union-find over the
+        (already python-oracled) pair set."""
+        from moera_search_spark.operators.dedup import dedup_lsh_clusters
+
+        pairs = [(int(r["id_a"]), int(r["id_b"])) for r in
+                 dedup_minhash_lsh(spark, SF_DIR).collect()]
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, list[int]] = {}
+        for n in parent:
+            comps.setdefault(find(n), []).append(n)
+        expected = {}
+        for members in comps.values():
+            canon = min(members)
+            for m in members:
+                expected[m] = (canon, len(members))
+        got = {int(r["doc_id"]): (int(r["canonical_id"]),
+                                  int(r["cluster_size"]))
+               for r in dedup_lsh_clusters(spark, SF_DIR).collect()}
+        assert got == expected
+
+    def test_transitive_chain_collapses_to_one_cluster(self, spark,
+                                                       tmp_path):
+        """A~B and B~C band-collide but A and C share too little to
+        pair directly (J(A,C) < threshold) — the clusters operator
+        must still put all three under one canonical id.  The word
+        seed is pinned so the md5-derived signatures land the chain
+        deterministically; it also regression-pins the XOR permutation
+        family: under the degenerate round-3 affine family (all bands
+        picking the global-min shingle) this chain never banded."""
+        import pandas as pd
+
+        from moera_search_spark.operators.dedup import (
+            dedup_lsh_clusters,
+            dedup_minhash_lsh,
+        )
+
+        words = [f"s4w{i:03d}" for i in range(60)]
+
+        def text(lo, hi):
+            return " ".join(words[lo:hi])
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 50],
+            "text": [text(0, 30), text(10, 40), text(20, 50),
+                     "unrelated content about something else wholly"],
+        })
+        docs.to_parquet(tmp_path / "documents.parquet")
+        pairs = {(int(r["id_a"]), int(r["id_b"])) for r in
+                 dedup_minhash_lsh(spark, str(tmp_path)).collect()}
+        assert (1, 2) in pairs and (2, 3) in pairs
+        assert (1, 3) not in pairs  # below threshold — transitive only
+        got = {int(r["doc_id"]): (int(r["canonical_id"]),
+                                  int(r["cluster_size"]))
+               for r in dedup_lsh_clusters(spark, str(tmp_path)).collect()}
+        assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+
+    def test_clusters_release_executor_storage(self, spark):
+        from moera_search_spark.operators.dedup import dedup_lsh_clusters
+
+        jsc = spark.sparkContext._jsc.sc()
+        for _ in range(3):
+            dedup_lsh_clusters(spark, SF_DIR).collect()
+        n_after = jsc.getPersistentRDDs().size()
+        # one generation (base + cand + edges + label rounds) may stay
+        assert n_after <= 8, f"persisted RDDs grew to {n_after}"
+
+
+def test_embedding_cosine_matches_duckdb(spark):
+    """dedup_embedding_cosine yielded its driver-catalog slot to
+    dedup_lsh_clusters (see dedup.QUERIES comment) — this keeps it
+    value-verified cross-engine."""
+    import duckdb
+
+    from moera_search_spark.operators.dedup import (
+        DEDUP_EMBEDDING_COSINE_SQL,
+        dedup_embedding_cosine,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')")
+    oracle = {(int(r[0]), int(r[1])): int(r[2]) for r in
+              con.execute(DEDUP_EMBEDDING_COSINE_SQL).fetchall()}
+    got = {(int(r["id_a"]), int(r["id_b"])): int(r["cos_e4"]) for r in
+           dedup_embedding_cosine(spark, SF_DIR).collect()}
+    assert set(got) == set(oracle)
+    for k, v in got.items():
+        assert abs(v - oracle[k]) <= 1  # float rounding at the e4 edge
