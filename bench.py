@@ -209,6 +209,28 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
             out[f"p50_{method}_sec"] = round(statistics.median(lat), 3)
             out[f"p95_{method}_sec"] = round(
                 sorted(lat)[int(0.95 * (len(lat) - 1))], 3)
+        # batched query-set serving (SURVEY §2.5 search_many): the
+        # whole reference set answered by ONE job sharing a single
+        # postings scan, vs the same texts served sequentially —
+        # both unfiltered so the two sides run identical per-query
+        # semantics (search_many takes one shared filter set).
+        texts = [q["query_text"] for q in qset]
+        seq = 0.0
+        for txt in texts:
+            best = None
+            for _attempt in range(2):
+                t0 = time.time()
+                idx.search(txt, k=10, method="exhaustive").collect()
+                best = time.time() - t0
+            seq += best
+        best = None
+        for _attempt in range(2):
+            t0 = time.time()
+            idx.search_many(texts, k=10).collect()
+            best = time.time() - t0
+        out["search_many_wall_sec"] = round(best, 3)
+        out["sequential_wall_sec"] = round(seq, 3)
+        out["search_many_speedup"] = round(seq / best, 2)
     spark.stop()
     with open(out_path, "w") as f:
         json.dump(out, f)
@@ -352,6 +374,8 @@ def main() -> None:
         engine[f"local[{ENGINE_CPUS}]"].get("p50_exhaustive_sec")
     queries["engine_query_p50_pruned"] = \
         engine[f"local[{ENGINE_CPUS}]"].get("p50_pruned_sec")
+    queries["engine_search_many_speedup"] = \
+        engine[f"local[{ENGINE_CPUS}]"].get("search_many_speedup")
 
     if BIG_CONVS:
         # large-corpus leg: the pruned/exhaustive crossover size

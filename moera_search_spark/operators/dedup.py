@@ -312,13 +312,30 @@ def minhash_signatures(spark, sf_dir, n_hashes: int = N_HASHES):
 _LSH_PERSIST_CACHE: list = []
 
 
+def _release_generation(df) -> None:
+    """Free a cached generation's executor storage, whether it was
+    ``persist``-ed (CacheManager path) or ``localCheckpoint``-ed.
+    Checkpoint blocks are NOT reachable through ``DataFrame.unpersist``
+    (they live on the LogicalRDD's materialized RDD, outside the
+    CacheManager), so they are released through the plan's RDD handle;
+    if that internal shape ever changes, the fallback is Spark's
+    ContextCleaner reclaiming them on GC — deferred, not leaked."""
+    try:
+        df.unpersist(False)
+    except Exception:
+        pass
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getName().endswith("LogicalRDD"):
+            node.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _lsh_release_persists() -> None:
     global _LSH_PERSIST_CACHE
     for df in _LSH_PERSIST_CACHE:
-        try:
-            df.unpersist(False)
-        except Exception:
-            pass
+        _release_generation(df)
     _LSH_PERSIST_CACHE = []
 
 
@@ -580,9 +597,17 @@ def dedup_lsh_clusters(spark, sf_dir, max_iters: int = 25):
     O(log n) rounds is the drop-in upgrade if crawls surface deep
     chains — same join/agg primitives, more rounds fused).
 
-    Each generation is persisted and released through the same
-    one-generation cache as ``dedup_minhash_lsh`` (storage cannot
-    grow across invocations).  Oracle: DuckDB recursive CTE over the
+    Label generations are ``localCheckpoint``-ed, not merely
+    persisted: each round references the previous generation twice
+    (once through the propagation join, once through the union), so
+    without a lineage CUT the logical plan doubles per round —
+    measured 47k plan lines after 4 rounds at sf0.01 — and Catalyst
+    analysis time, not the data, becomes the bottleneck.  The
+    checkpoint truncates the plan to a scan of the materialized
+    generation (the standard Spark idiom for iterative algorithms);
+    superseded generations are released eagerly, and the edge set
+    goes through the same one-generation cache as
+    ``dedup_minhash_lsh``.  Oracle: DuckDB recursive CTE over the
     identical pairs SQL — min reachable id per node IS the component
     minimum."""
     from pyspark.sql import functions as F
@@ -596,18 +621,21 @@ def dedup_lsh_clusters(spark, sf_dir, max_iters: int = 25):
     _LSH_PERSIST_CACHE.append(edges)
     labels = (edges.select(F.col("src").alias("node"),
                            F.col("src").alias("lbl"))
-              .distinct().persist())
-    _LSH_PERSIST_CACHE.append(labels)
+              .distinct().localCheckpoint())
     for _ in range(max_iters):
         prop = (edges.join(labels, edges["src"] == labels["node"])
                 .select(F.col("dst").alias("node"), F.col("lbl")))
         new_labels = (labels.union(prop).groupBy("node")
-                      .agg(F.min("lbl").alias("lbl")).persist())
-        _LSH_PERSIST_CACHE.append(new_labels)
+                      .agg(F.min("lbl").alias("lbl"))
+                      .localCheckpoint())
         shrank = (new_labels.alias("n")
                   .join(labels.alias("o"), "node")
                   .filter(F.col("n.lbl") < F.col("o.lbl"))
                   .limit(1).count())
+        # the superseded generation is dead once the shrank-probe ran
+        # — release its checkpoint blocks NOW so a deep chain holds at
+        # most two label generations, not max_iters of them
+        _release_generation(labels)
         labels = new_labels
         if shrank == 0:
             break
