@@ -613,10 +613,27 @@ def dedup_lsh_clusters(spark, sf_dir, max_iters: int = 25):
     from pyspark.sql import functions as F
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs, max_iters=max_iters)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "lbl")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("lbl").alias("canonical_id"),
+                    "cluster_size"))
+
+
+def connected_components(pairs, max_iters: int = 25):
+    """Connected components over an undirected pair DataFrame (two
+    int64 columns, any orientation) → (node, lbl) with lbl = the
+    component's minimum node id.  See ``dedup_lsh_clusters`` for the
+    algorithm/checkpoint rationale; factored out so property tests
+    can drive it with arbitrary graphs, not just LSH pair sets."""
+    from pyspark.sql import functions as F
+
+    ca, cb = pairs.columns
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"),
-                            F.col("id_a").alias("dst")))
+        pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
+        .union(pairs.select(F.col(cb).alias("src"),
+                            F.col(ca).alias("dst")))
         .distinct().persist())
     _LSH_PERSIST_CACHE.append(edges)
     labels = (edges.select(F.col("src").alias("node"),
@@ -644,11 +661,7 @@ def dedup_lsh_clusters(spark, sf_dir, max_iters: int = 25):
             f"label propagation did not converge in {max_iters} rounds "
             "— component diameter exceeds the cap; raise max_iters or "
             "switch to large-star/small-star contraction")
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    return (labels.join(sizes, "lbl")
-            .select(F.col("node").alias("doc_id"),
-                    F.col("lbl").alias("canonical_id"),
-                    "cluster_size"))
+    return labels
 
 
 DEDUP_LSH_CLUSTERS_SQL = f"""

@@ -234,3 +234,48 @@ def test_embedding_cosine_matches_duckdb(spark):
     assert set(got) == set(oracle)
     for k, v in got.items():
         assert abs(v - oracle[k]) <= 1  # float rounding at the e4 edge
+
+
+def _uf_components(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("case,pairs", [
+    ("chain-12", [(i, i + 1) for i in range(12)]),
+    ("star", [(5, i) for i in (9, 17, 3, 40)]),
+    ("two-components", [(1, 2), (2, 3), (10, 11), (12, 11)]),
+    ("dup-and-reversed", [(4, 7), (7, 4), (4, 7), (7, 9)]),
+    ("self-loop", [(3, 3), (3, 8)]),
+    ("rng-0", None), ("rng-1", None), ("rng-2", None),
+])
+def test_connected_components_equal_union_find(spark, case, pairs):
+    """connected_components on arbitrary graphs == union-find: random
+    Erdős–Rényi graphs plus adversarial shapes (a 12-edge chain needs
+    12 propagation rounds — the diameter bound; duplicate/reversed/
+    self-loop edges must be absorbed by the symmetrize+distinct)."""
+    import random
+
+    from moera_search_spark.operators.dedup import connected_components
+
+    if pairs is None:
+        rng = random.Random(int(case[-1]))
+        nodes = list(range(40))
+        pairs = [tuple(rng.sample(nodes, 2)) for _ in range(30)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {int(r["node"]): int(r["lbl"]) for r in
+           connected_components(df).collect()}
+    assert got == _uf_components(pairs)
