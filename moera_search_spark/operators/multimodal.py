@@ -619,9 +619,108 @@ def audio_window_features(spark, sf_dir, codec: str = "pcm"):
             .mapInPandas(gen, "doc_id long, features array<double>"))
 
 
+def synth_audio_lcg(doc_id: int, n: int = 4000) -> np.ndarray:
+    """Deterministic int16 sample synth with NO transcendentals — an
+    LCG-style integer mix — so a SQL oracle regenerates the exact
+    samples (the sine mix in ``synth_audio`` cannot be reproduced
+    bit-for-bit across numpy/DuckDB libm).  int64-exact everywhere:
+    doc_id·2654435761 + i·40503 < 2^63 for any test doc_id."""
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 2654435761 + i * 40503) % 65536 - 32768) \
+        .astype(np.int16)
+
+
+AUDIO_WINDOWS = 4
+AUDIO_N = 4000
+
+
+def multimodal_audio_flac_features(spark, sf_dir):
+    """Driver-checkable audio twin of the PNG decode entry: int16
+    LCG synth → native FLAC encode → native FLAC decode → windowed
+    RMS + mean + peak, computed over EXACT integer sums (Σv, Σv²,
+    max|v| are int64-exact; one float64 divide/sqrt at the end), so
+    the DuckDB oracle regenerates the identical features from the
+    LCG formula alone.  FLAC is lossless — any bug anywhere in the
+    encode or decode chain (channel assembly, predictors, Rice
+    coding, bit packing) changes decoded samples and breaks every
+    feature hash cross-engine.  Features e6-joined to one hashable
+    string like the image twin."""
+    from ..flac import decode_flac, encode_flac
+
+    w = AUDIO_N // AUDIO_WINDOWS
+
+    def gen(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids = pdf["doc_id"].values
+            rows = []
+            for i in ids:
+                pcm = synth_audio_lcg(int(i), AUDIO_N)
+                dec, _rate = decode_flac(encode_flac(pcm[None, :], 8000))
+                v = dec[0].astype(np.int64)
+                feats = []
+                for j in range(AUDIO_WINDOWS):
+                    s2 = int((v[j * w:(j + 1) * w] ** 2).sum())
+                    feats.append(np.sqrt(s2 / w) / 32767.0)
+                feats.append(int(v.sum()) / AUDIO_N / 32767.0)
+                feats.append(int(np.abs(v).max()) / 32767.0)
+                # round half AWAY from zero to match SQL round()
+                # (np.round is half-even — mismatch class at .5)
+                rows.append(",".join(
+                    str(int(np.sign(f * 1e6)
+                            * np.floor(abs(f * 1e6) + 0.5)))
+                    for f in feats))
+            yield pd.DataFrame({"doc_id": ids, "features_e6": rows})
+
+    return (_docs(spark, sf_dir).select("doc_id")
+            .mapInPandas(gen, "doc_id long, features_e6 string"))
+
+
+_AUDIO_S2_COLS = ", ".join(
+    f"max(CASE WHEN wi = {j} THEN s2 END) AS s2_{j}"
+    for j in range(AUDIO_WINDOWS))
+_AUDIO_RMS_PARTS = ",\n         ".join(
+    f"CAST(CAST(round(sqrt(CAST(s2_{j} AS DOUBLE) / "
+    f"{AUDIO_N // AUDIO_WINDOWS}) / 32767.0 * 1e6) AS BIGINT) "
+    "AS VARCHAR)" for j in range(AUDIO_WINDOWS))
+
+MULTIMODAL_AUDIO_FLAC_SQL = f"""
+WITH s AS (
+  SELECT d.doc_id, i.range AS i,
+         (d.doc_id * 2654435761 + i.range * 40503) % 65536 - 32768 AS v
+  FROM documents d CROSS JOIN range(0, {AUDIO_N}) i
+),
+win AS (
+  SELECT doc_id, i // {AUDIO_N // AUDIO_WINDOWS} AS wi,
+         sum(v * v) AS s2
+  FROM s GROUP BY 1, 2
+),
+winf AS (
+  SELECT doc_id,
+         {_AUDIO_S2_COLS}
+  FROM win GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id, sum(v) AS sv, max(abs(v)) AS pk
+  FROM s GROUP BY doc_id
+)
+SELECT g.doc_id,
+       concat_ws(',',
+         {_AUDIO_RMS_PARTS},
+         CAST(CAST(round(CAST(sv AS DOUBLE) / {AUDIO_N} / 32767.0 * 1e6)
+              AS BIGINT) AS VARCHAR),
+         CAST(CAST(round(pk / 32767.0 * 1e6) AS BIGINT) AS VARCHAR)
+       ) AS features_e6
+FROM g JOIN winf USING (doc_id)
+"""
+
+
+# multimodal_binary_stats (octet_length + md5 metadata — the thinnest
+# multimodal capability, its expressions exercised by many other
+# entries) yields its driver slot to the FLAC audio entry and stays
+# DuckDB-parity-tested in pytest.
 QUERIES = {
-    "multimodal_binary_stats":
-        (multimodal_binary_stats, MULTIMODAL_BINARY_STATS_SQL),
+    "multimodal_audio_flac_features":
+        (multimodal_audio_flac_features, MULTIMODAL_AUDIO_FLAC_SQL),
     # The catalog registers the hashable-schema twin (e6 string) so the
     # harness can canonicalize the rows (VERDICT round 2 item 1), and a
     # FULL SQL oracle: encode→decode is pixel-lossless, so the features

@@ -303,3 +303,54 @@ class TestLibrarySeam:
         lib = decode_image(buf)
         assert lib.shape == native.shape
         assert np.abs(lib.astype(int) - native.astype(int)).max() <= 4
+
+
+def test_binary_stats_matches_duckdb(spark):
+    """multimodal_binary_stats yielded its driver-catalog slot to
+    multimodal_audio_flac_features (see multimodal.QUERIES comment) —
+    this keeps it value-verified cross-engine."""
+    import duckdb
+
+    from moera_search_spark.operators.multimodal import (
+        MULTIMODAL_BINARY_STATS_SQL,
+        multimodal_binary_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    oracle = {int(r[0]): (int(r[1]), r[2], r[3]) for r in
+              con.execute(MULTIMODAL_BINARY_STATS_SQL).fetchall()}
+    got = {int(r["doc_id"]): (int(r["n_bytes"]), r["fp"], r["mime"])
+           for r in multimodal_binary_stats(spark, sf).collect()}
+    assert got == oracle
+
+
+def test_audio_flac_features_lossless_vs_pcm_path(spark):
+    """The driver entry's features must equal features computed from
+    the UN-encoded samples — i.e. the FLAC round trip is lossless on
+    the LCG synth (belt-and-braces next to the SQL oracle)."""
+    import numpy as np
+
+    from moera_search_spark.operators.multimodal import (
+        AUDIO_N,
+        AUDIO_WINDOWS,
+        multimodal_audio_flac_features,
+        synth_audio_lcg,
+    )
+
+    got = {int(r["doc_id"]): r["features_e6"] for r in
+           multimodal_audio_flac_features(
+               spark, "/root/testdata/sf0.001").collect()}
+    w = AUDIO_N // AUDIO_WINDOWS
+    for doc_id in list(got)[:25]:
+        v = synth_audio_lcg(doc_id, AUDIO_N).astype(np.int64)
+        feats = [np.sqrt(int((v[j * w:(j + 1) * w] ** 2).sum()) / w)
+                 / 32767.0 for j in range(AUDIO_WINDOWS)]
+        feats.append(int(v.sum()) / AUDIO_N / 32767.0)
+        feats.append(int(np.abs(v).max()) / 32767.0)
+        exp = ",".join(str(int(np.sign(f * 1e6)
+                               * np.floor(abs(f * 1e6) + 0.5)))
+                       for f in feats)
+        assert got[doc_id] == exp
