@@ -303,6 +303,17 @@ def _staging_iter(mode: str, offsets, chunk_size: int):
             tf_f = np.concatenate(acc_tfs)
             dl_f = np.concatenate(acc_dls)
             acc_terms, acc_docs, acc_tfs, acc_dls = [], [], [], []
+            if doc_f.shape[0] == 0:
+                # every doc in the segment tokenized to zero terms (the
+                # accumulator LIST was non-empty but each appended slice
+                # was) — no run rows; the docs (dl=0) were already
+                # emitted.  Tiny buckets hit this for real: at 2^18
+                # buckets over 3.9M turns a (bucket, chunk) segment is
+                # ~15 docs, and an all-empty segment crashed the
+                # change[0] grouping below (found by the round-4 2^18
+                # validation; impossible to hit at 64 buckets where
+                # segments are ~60k docs).
+                return None
             # group the chunk's postings by term: factorize (C-speed
             # hash) + stable argsort on the codes keeps each term's
             # postings in ascending doc order
@@ -703,6 +714,21 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
             + [(-1, "write_sec", t_write_done - t0),
                (-1, "bstat_sec", t_bstat_done - t_write_done),
                (-1, "manifest_sec", time.time() - t_bstat_done)])
+
+    total_tf = sum(int(s["tf_rows"])
+                   for s in config["bucket_stats"].values())
+    if total_tf == 0:
+        # every document in the corpus tokenized to zero terms — a
+        # term-less index has no postings schema to write and nothing
+        # a query could ever match; this is an upstream data bug, so
+        # fail loudly instead of committing an index that looks built
+        # but answers nothing (regression-tested; the real-world
+        # variant — zero-term SEGMENTS inside a healthy corpus — is
+        # handled in the staging flush above).
+        raise ValueError(
+            "corpus produced zero indexable terms (all documents "
+            "tokenized empty under mode=%r) — refusing to build a "
+            "term-less index" % mode)
 
     staging = spark.read.parquet(staging_path)
     doc_rows = staging.filter(F.col("row_type") == "doc")

@@ -107,3 +107,52 @@ class TestEngineServingEntries:
             # allocates a size-k buffer per task
             assert n == idx.search(q, k=idx.n_docs,
                                    method="exhaustive").count()
+
+
+class TestZeroTermSegments:
+    """The run-shuffle staging crashed when a (bucket, chunk) segment
+    contained ONLY zero-term docs (flush() guarded the accumulator
+    LIST, not the concatenated length) — found by the round-4 2^18
+    validation, where ~15-doc buckets make all-empty segments real."""
+
+    def _transcripts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+
+    def test_all_empty_corpus_fails_loudly(self, spark, tmp_path):
+        """A corpus where EVERY doc tokenizes empty has no postings
+        schema to write — the build must refuse with a clear error
+        (not the schema-inference crash it used to die with three
+        stages later), and the staging pass must survive the
+        all-empty segments on the way there."""
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from moera_search_spark.build import build_index
+
+        ts = dt.datetime(2026, 1, 1)
+        rows = [(f"c-{i:02d}", j, "user", "", None, ts)
+                for i in range(3) for j in range(4)]
+        with _pytest.raises(ValueError, match="zero indexable terms"):
+            build_index(spark, self._transcripts(spark, rows),
+                        str(tmp_path / "idx"), n_buckets=2)
+
+    def test_empty_conv_isolated_in_own_bucket(self, spark, tmp_path):
+        import datetime as dt
+
+        from moera_search_spark.build import build_index
+        from moera_search_spark.query import FTSIndex
+
+        ts = dt.datetime(2026, 1, 1)
+        rows = ([("a-empty", j, "user", "   ", None, ts)
+                 for j in range(5)]
+                + [("b-full", j, "user", "spark window join", None, ts)
+                   for j in range(5)])
+        res = build_index(spark, self._transcripts(spark, rows),
+                          str(tmp_path / "idx"), n_buckets=2)
+        assert res["n_docs"] == 10
+        idx = FTSIndex(spark, str(tmp_path / "idx"))
+        assert idx.search("spark", k=10).count() == 5
+        assert idx.docs.filter("dl = 0").count() == 5
