@@ -134,8 +134,8 @@ def make_session(n_cpus: int, app: str):
 
 def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
                  out_path: str, with_queries: bool,
-                 tag: str = "") -> None:
-    from moera_search_spark.build import build_index
+                 tag: str = "", bucket_mode: str = "auto") -> None:
+    from moera_search_spark.build import auto_bucket_count, build_index
     from moera_search_spark.fixtures import reference_query_set
     from moera_search_spark.query import FTSIndex
 
@@ -155,6 +155,17 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
     # of the same code: 28 s and 139 s minutes apart).  Each attempt
     # runs behind a load-settle gate; the min is the engine's number.
     tr = spark.read.parquet(transcripts_path)
+    if bucket_mode == "auto":
+        # bucket count tracks corpus size (build.py knee measurement);
+        # the count() is untimed — it's a property of the input, not
+        # build work, and a production build amortizes it anyway
+        n_bkts = auto_bucket_count(tr.count(), n_cpus)
+    else:
+        # scaling legs: FIXED count so both cluster sizes build the
+        # same task layout (an N-vs-4N comparison with per-level
+        # bucket counts would measure the layout, not the scaling)
+        # and the count stays comparable to rounds 3-4
+        n_bkts = max(2 * n_cpus, 64)
     samples = []
     loads = []
     attempts = ["idx", "idx_b", "idx_c"]
@@ -165,8 +176,7 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         loads.append(round(settle(), 2))
         idx_dir = os.path.join(scratch, attempt)
         t0 = time.time()
-        res = build_index(spark, tr, idx_dir,
-                          n_buckets=max(2 * n_cpus, 64))
+        res = build_index(spark, tr, idx_dir, n_buckets=n_bkts)
         samples.append(time.time() - t0)
     # keep the FASTEST attempt's directory — the indexes are
     # byte-identical (deterministic build), but the kept
@@ -184,6 +194,7 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
     build_sec = min(samples)
 
     out = {"cpus": n_cpus, "n_docs": res["n_docs"],
+           "n_buckets": n_bkts,
            "build_sec": round(build_sec, 2),
            "build_samples": [round(s, 2) for s in samples],
            "loadavg_at_start": loads,
@@ -287,13 +298,14 @@ def materialize_corpus() -> tuple[str, str, str, str]:
 
 
 def spawn_child(n_cpus: int, corpus: str, warmup: str,
-                with_queries: bool, tag: str = "") -> dict:
+                with_queries: bool, tag: str = "",
+                bucket_mode: str = "auto") -> dict:
     out_path = os.path.join(WORKDIR, f"child_{tag}{n_cpus}.json")
     if os.path.exists(out_path):
         os.unlink(out_path)
     cmd = [sys.executable, os.path.abspath(__file__), "--engine-child",
            str(n_cpus), corpus, warmup, out_path,
-           "1" if with_queries else "0", tag]
+           "1" if with_queries else "0", tag, bucket_mode]
     env = dict(os.environ, PYTHONPATH=REPO)
     subprocess.run(cmd, check=True, env=env, timeout=2400)
     with open(out_path) as f:
@@ -351,7 +363,8 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--engine-child":
         engine_child(int(sys.argv[2]), sys.argv[3], sys.argv[4],
                      sys.argv[5], sys.argv[6] == "1",
-                     sys.argv[7] if len(sys.argv) > 7 else "")
+                     sys.argv[7] if len(sys.argv) > 7 else "",
+                     sys.argv[8] if len(sys.argv) > 8 else "auto")
         return
 
     os.makedirs(WORKDIR, exist_ok=True)
@@ -397,7 +410,8 @@ def main() -> None:
         for n_cpus in (hi, lo):
             settle()   # previous teardown must not bleed in
             legs[n_cpus] = spawn_child(n_cpus, scaling_corpus, warmup,
-                                       with_queries=False, tag="s")
+                                       with_queries=False, tag="s",
+                                       bucket_mode="fixed")
         eff = (legs[lo]["build_sec"] / legs[hi]["build_sec"]) / (hi / lo)
         controls = hw_scaling_controls(lo, hi)
         scaling = {

@@ -116,6 +116,33 @@ POSTINGS_FILES_PER_BUCKET = 8
 # exactly the rows being recomputed).
 MAX_STAGING_SHARDS = 4096
 
+# Staging-task granularity knee, measured on the round-4 size curve
+# (BASELINE.md: 973k/3.9M/9.7M turns).  A fixed bucket count makes
+# per-task chunks grow linearly with the corpus — at 9.7M turns the
+# old fixed 64 left ~152k-turn staging tasks and cost ~13% vs 160
+# buckets (~61k turns/task, the size the 973k and 3.9M optima also
+# sit at).  ``auto_bucket_count`` keeps tasks at this knee as the
+# corpus grows, capped at MAX_AUTO_BUCKETS = 2^18 — the validated
+# driver-bookkeeping bound (boundaries list + per-bucket stats are
+# O(n_buckets) driver-side; 2^18 was exercised end-to-end incl.
+# crash-resume, BASELINE.md rounds 3-4).  Past the cap (> ~15.7G
+# turns) per-bucket size grows again, which is the design point's own
+# shape: 10^12 / 2^18 ≈ 3.8M turns ≈ 1 GB text per bucket,
+# "comfortably one task" on a real executor (SCALE.md §build).
+TARGET_TURNS_PER_BUCKET = 60_000
+MAX_AUTO_BUCKETS = 262_144
+
+
+def auto_bucket_count(n_rows: int, parallelism: int) -> int:
+    """Doc-bucket count for a fresh build: one staging task per
+    ~TARGET_TURNS_PER_BUCKET turns, floored at 4× the task-slot count
+    so every slot sees work even on small corpora (4 waves bound the
+    straggler tail without inflating per-task fixed costs), capped at
+    the validated driver-bookkeeping bound."""
+    by_size = -(-max(int(n_rows), 1) // TARGET_TURNS_PER_BUCKET)
+    return min(max(4 * max(int(parallelism), 1), by_size),
+               MAX_AUTO_BUCKETS)
+
 
 def term_bucket(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
     """Stable term → directory shard (same fn at build and query time)."""
@@ -523,7 +550,8 @@ def _reencode_iter(avgdl: float, k1: float, b: float, block_size: int,
 
 
 def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
-                n_buckets: int = 32, buckets_per_job: int | None = None,
+                n_buckets: int | str = 32,
+                buckets_per_job: int | None = None,
                 resume: bool = False, k1: float = K1, b: float = B,
                 block_size: int = BLOCK_SIZE, chunk_size: int = CHUNK_SIZE,
                 shuffle_partitions: int | None = None,
@@ -531,6 +559,12 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                 doc_id_offset: int = 0,
                 fail_after_groups: int | None = None) -> dict:
     """Build (or resume) the full index at ``index_dir``.
+
+    ``n_buckets="auto"`` sizes the doc-bucket count from the corpus
+    (one extra count() over the conv_id-pruned scan) via
+    ``auto_bucket_count`` — fixed counts leave per-task chunks growing
+    linearly with the corpus.  Resumed builds always reuse the count
+    persisted in the build config.
 
     ``fail_after_groups`` aborts after N staging bucket-groups — used
     by resume tests to simulate a mid-build crash (the analogue of
@@ -562,6 +596,10 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
             import shutil
 
             shutil.rmtree(index_dir)
+        if n_buckets == "auto":
+            n_buckets = auto_bucket_count(
+                transcripts.count(),
+                spark.sparkContext.defaultParallelism)
         boundaries = compute_boundaries(spark, transcripts, n_buckets)
         # Exact per-bucket doc counts (reads the conv_id column ONLY —
         # parquet column pruning never touches the text payloads): pins

@@ -313,13 +313,18 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
             "seconds": time.time() - t0}
 
 
-def compact(spark, index_dir: str, *, n_buckets: int = 32) -> dict:
+def compact(spark, index_dir: str, *,
+            n_buckets: int | str = "auto") -> dict:
     """Segment merge: rebuild the index from live docs only.
 
     Drops tombstones, re-densifies doc_ids under stable
     (conv_id, turn_idx) order, and restores exact df — the analogue of
     a Lucene forced merge.  The rebuilt index is bit-compatible with a
-    fresh ``build_index`` over the live corpus."""
+    fresh ``build_index`` over the live corpus.  ``n_buckets``
+    defaults to "auto": the live corpus after heavy deletes can be far
+    smaller (or, after many upsert batches, far larger) than whatever
+    bucket count the original build used, so the compacted index
+    re-derives task granularity from the data (build.py knee)."""
     t0 = time.time()
     config = mf.load_config(index_dir)
     if config is None:

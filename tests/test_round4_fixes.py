@@ -156,3 +156,69 @@ class TestZeroTermSegments:
         idx = FTSIndex(spark, str(tmp_path / "idx"))
         assert idx.search("spark", k=10).count() == 5
         assert idx.docs.filter("dl = 0").count() == 5
+
+
+class TestAutoBucketCount:
+    """``n_buckets="auto"`` sizes the doc-bucket count from the corpus
+    (round-4 size-curve finding: a fixed count lets per-task chunks
+    grow linearly — 64 buckets cost ~13% at 9.7M turns vs 160)."""
+
+    def test_knee_values(self):
+        from moera_search_spark.build import (TARGET_TURNS_PER_BUCKET,
+                                              auto_bucket_count)
+
+        # the measured optima on the round-4 size curve
+        assert auto_bucket_count(973_000, 16) == 64      # floor wins
+        assert auto_bucket_count(3_900_000, 16) == 65    # ~= old 64
+        assert auto_bucket_count(9_731_879, 16) == 163   # ~ the 160 win
+        # floor: every task slot sees ~4 waves even on tiny corpora
+        assert auto_bucket_count(100, 16) == 64
+        assert auto_bucket_count(1, 2) == 8
+        # cap: the validated 2^18 driver-bookkeeping bound — at the
+        # 10^12-turn design point buckets grow to ~3.8M turns each
+        # (SCALE.md §build), never the count
+        assert TARGET_TURNS_PER_BUCKET == 60_000
+        assert auto_bucket_count(10**12, 1000) == 2**18
+        assert auto_bucket_count(2**18 * 60_000, 16) == 2**18
+
+    def test_auto_build_matches_fixed(self, spark, corpus_df, tmp_path):
+        from moera_search_spark import manifest as mf
+        from moera_search_spark.build import auto_bucket_count, build_index
+        from moera_search_spark.query import FTSIndex
+
+        d_auto = str(tmp_path / "idx_auto")
+        d_fixed = str(tmp_path / "idx_fixed")
+        res = build_index(spark, corpus_df, d_auto, n_buckets="auto")
+        expect = auto_bucket_count(
+            corpus_df.count(), spark.sparkContext.defaultParallelism)
+        # compute_boundaries dedupes quantile picks, so a tiny corpus
+        # may realize fewer buckets than requested — but far more than
+        # the non-auto default (32)
+        got = mf.load_config(d_auto)["n_buckets"]
+        assert expect * 0.8 <= got <= expect
+        build_index(spark, corpus_df, d_fixed, n_buckets=4)
+        a = FTSIndex(spark, d_auto).search("spark window join", k=10)
+        b = FTSIndex(spark, d_fixed).search("spark window join", k=10)
+        rows_a = [(r["doc_id"], round(r["score"], 9)) for r in a.collect()]
+        rows_b = [(r["doc_id"], round(r["score"], 9)) for r in b.collect()]
+        assert res["n_docs"] == corpus_df.count()
+        assert rows_a == rows_b
+
+    def test_compact_default_is_auto(self, spark, corpus_df, tmp_path):
+        from moera_search_spark import manifest as mf
+        from moera_search_spark.build import auto_bucket_count, build_index
+        from moera_search_spark.incremental import compact
+        from moera_search_spark.query import FTSIndex
+
+        d = str(tmp_path / "idx_c")
+        build_index(spark, corpus_df, d, n_buckets=4)
+        before = [(r["doc_id"], round(r["score"], 9)) for r in
+                  FTSIndex(spark, d).search("spark window", k=10).collect()]
+        res = compact(spark, d)
+        expect = auto_bucket_count(
+            res["n_docs"], spark.sparkContext.defaultParallelism)
+        assert mf.load_config(d)["n_buckets"] <= expect
+        assert mf.load_config(d)["n_buckets"] > 4
+        after = [(r["doc_id"], round(r["score"], 9)) for r in
+                 FTSIndex(spark, d).search("spark window", k=10).collect()]
+        assert before == after
