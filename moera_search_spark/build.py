@@ -132,6 +132,29 @@ MAX_STAGING_SHARDS = 4096
 TARGET_TURNS_PER_BUCKET = 60_000
 MAX_AUTO_BUCKETS = 262_144
 
+# Parquet row-group targets for the query-facing tables.  Both tables
+# are written term-sorted so row-group min-max stats can serve
+# point(ish) reads — but parquet's 128 MB default buffers a whole
+# file into ONE group, which defeats the sort entirely (measured: a
+# 3.9M-turn index's pc_bounds files were single ~1.7M-row groups, so
+# every query decoded a full file to extract one term's rows).  The
+# target is the writer's IN-MEMORY buffered size, and pc_bounds
+# columns dictionary-encode to a few bytes/row in that accounting,
+# so 2 MiB ≈ 0.5M-row groups here.  Measured at 3.9M turns
+# (reference query set, min-of-5 alternating cold processes):
+# sidecar read total 371 ms → 235 ms, and 2.2 s → 0.9 s inside a
+# live session where decode competes with executor memory; storage
+# +7%.  Tighter targets were tried and rejected: 256 KiB degrades
+# into ~9.5k-row groups whose per-group overhead DOUBLES the table
+# (73 → 153 MB) for no further read win.  postings groups stay
+# larger: rows carry KB-scale block payloads and head-term scans
+# want sequential-decode efficiency; the 8 MiB cap only matters once
+# per-file size outgrows it (≥~20M turns at the fixed 128-file
+# layout) — it guarantees a rare-term Spark scan never decompresses
+# a whole multi-GB file for one term's row-group-pruned rows.
+POSTINGS_ROW_GROUP_BYTES = 8 * 1024 * 1024
+PC_BOUNDS_ROW_GROUP_BYTES = 2 * 1024 * 1024
+
 
 def auto_bucket_count(n_rows: int, parallelism: int) -> int:
     """Doc-bucket count for a fresh build: one staging task per
@@ -857,6 +880,14 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
          .drop("_split")
          .sortWithinPartitions("term", "first_doc_id")
          .write.mode("overwrite").partitionBy("term_bucket")
+         # parquet's default 128 MB row-group target leaves ONE group
+         # per file here, so the term-sorted layout prunes nothing
+         # inside a file: a one-term query decompresses every block
+         # payload in the touched files.  Capped groups make the sort
+         # pay — min-max stats narrow a rare-term read to the groups
+         # actually holding the term (a no-op below ~20M turns where
+         # files are already smaller than the cap).
+         .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
          .parquet(os.path.join(index_dir, "postings")))
 
     # ---- stage 5: pseudo-chunk bound sidecar ----
@@ -884,6 +915,15 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         (pcb.repartition(n_term_buckets, "term_bucket")
             .sortWithinPartitions("term", "pc")
             .write.mode("overwrite").partitionBy("term_bucket")
+            # point-read layout: the query path reads a few terms'
+            # rows per query via a pyarrow predicate scan, so capped
+            # term-sorted row groups turn that into a row-group-pruned
+            # point lookup instead of a whole-file decode (measured at
+            # 3.9M turns: default layout left single ~1.7M-row groups
+            # and the reference set paid 371 ms of sidecar reads cold
+            # / 2.2 s in-session; 2 MiB groups cut that to 235 ms /
+            # 0.9 s at +7% storage — constants doc above)
+            .option("parquet.block.size", str(PC_BOUNDS_ROW_GROUP_BYTES))
             .parquet(os.path.join(index_dir, "pc_bounds")))
         mf.mark(index_dir, "pc_bounds", [-1], "done")
         mf.record_metrics(index_dir, run_id, "pc_bounds",
