@@ -580,6 +580,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                 shuffle_partitions: int | None = None,
                 n_term_buckets: int = N_TERM_BUCKETS,
                 doc_id_offset: int = 0,
+                allow_empty: bool = False,
                 fail_after_groups: int | None = None) -> dict:
     """Build (or resume) the full index at ``index_dir``.
 
@@ -592,6 +593,18 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     ``fail_after_groups`` aborts after N staging bucket-groups — used
     by resume tests to simulate a mid-build crash (the analogue of
     killing a TimelineScanJob between checkpoints).
+
+    ``allow_empty`` permits a corpus whose documents ALL tokenize to
+    zero terms: docs/stats still get written (the docs stay
+    point-gettable, dl=0) but the postings and sidecar stages are
+    skipped — there is nothing to encode and no term any query could
+    match.  Delta-segment builds (incremental.apply_updates) set
+    this: a batch that blanks a few documents' text to
+    whitespace/stopwords-only is legitimate there, and the segment's
+    files are adopted into a base index that has its own postings.
+    A fresh standalone build keeps the loud failure — a term-less
+    base index would "look built" but answer nothing, and FTSIndex
+    cannot open a postings dir with no files.
     """
     from pyspark.sql import functions as F
 
@@ -778,14 +791,19 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
 
     total_tf = sum(int(s["tf_rows"])
                    for s in config["bucket_stats"].values())
-    if total_tf == 0:
+    if total_tf == 0 and not allow_empty:
         # every document in the corpus tokenized to zero terms — a
         # term-less index has no postings schema to write and nothing
-        # a query could ever match; this is an upstream data bug, so
-        # fail loudly instead of committing an index that looks built
-        # but answers nothing (regression-tested; the real-world
-        # variant — zero-term SEGMENTS inside a healthy corpus — is
-        # handled in the staging flush above).
+        # a query could ever match; for a FRESH build this is an
+        # upstream data bug, so fail loudly instead of committing an
+        # index that looks built but answers nothing (regression-
+        # tested; the real-world variant — zero-term SEGMENTS inside
+        # a healthy corpus — is handled in the staging flush above).
+        # Delta-segment builds pass allow_empty: tombstones for the
+        # replaced revisions are already adopted by the time the
+        # segment builds, so raising here would strand the batch
+        # mid-apply with the old docs invisible and every retry
+        # failing the same way (found by review, round 4).
         raise ValueError(
             "corpus produced zero indexable terms (all documents "
             "tokenized empty under mode=%r) — refusing to build a "
@@ -936,9 +954,19 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         _job_postings()
         _build_pc_bounds()
 
+    def _job_postings_empty():
+        # allow_empty path, zero terms: a partitionBy write of an
+        # empty frame leaves a fileless dir no reader can open, and
+        # the sidecar's read of it would crash — both stages are
+        # vacuously complete instead (nothing to encode, nothing to
+        # bound).  Only the docs/stats outputs exist; segment
+        # adoption walks whatever files are present.
+        mf.mark(index_dir, "pc_bounds", [-1], "done")
+
     jobs = [(stage, fn) for stage, fn in
             (("stats", _job_stats), ("docs", _job_docs),
-             ("postings", _job_postings_with_sidecar))
+             ("postings", _job_postings_with_sidecar if total_tf
+              else _job_postings_empty))
             if -1 not in mf.done_partitions(index_dir, stage)]
     if jobs:
         from concurrent.futures import ThreadPoolExecutor

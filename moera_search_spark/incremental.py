@@ -274,7 +274,14 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
             block_size=config["block_size"],
             chunk_size=config["chunk_size"],
             n_term_buckets=config.get("n_term_buckets", 16),
-            doc_id_offset=next_id)
+            doc_id_offset=next_id,
+            # a batch whose changed docs ALL tokenize to zero terms
+            # (text blanked to whitespace/stopwords) is legitimate
+            # here: tombstones are already adopted above, so the
+            # fresh-build zero-term failure would strand the batch
+            # mid-apply; an empty segment (docs only, no postings)
+            # is the correct outcome
+            allow_empty=True)
         seg_docs, seg_avgdl = res["n_docs"], res["avgdl"]
         seg_dl = int(res["total_dl"])
         if seg_docs:

@@ -12,32 +12,88 @@ parallelism, and it hash-partitions on a key column so the exchange
 is deterministic.
 
 The split-count estimate is metadata-only (``df.inputFiles`` + local
-file sizes against ``spark.sql.files.maxPartitionBytes``): the
-previous ``df.rdd.getNumPartitions()`` probe forced a full
-plan-to-RDD conversion per catalog invocation (round-3 VERDICT nit).
-Non-local or non-file sources skip the helper entirely — exactly the
-inputs whose scans split properly at scale.
+file sizes) and mirrors Spark's own ``FilePartition`` packing:
+``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+(total + nFiles*openCost) / defaultParallelism))`` and partitions ≈
+ceil(padded bytes / maxSplitBytes).  A plain file count is NOT a
+split count — Spark bin-packs small files together, so a directory
+of 32 tiny part files can still scan as one or two partitions.  The
+previous ``df.rdd.getNumPartitions()`` probe got this right but
+forced a full plan-to-RDD conversion per catalog invocation
+(round-3 VERDICT nit); it remains only as the fallback for
+non-file-backed frames, where no scan metadata exists.  Remote
+(non-local-path) file sources skip the helper entirely — exactly
+the inputs whose scans split properly at scale.
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+_DEFAULT_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+# Spark byte-size strings: "134217728", "128m", "128MB", "1g", "512k"
+_SIZE_RE = re.compile(r"^(\d+)\s*([kmgtp]?)b?$")
+_SIZE_MULT = {"": 1, "k": 1024, "m": 1024 ** 2, "g": 1024 ** 3,
+              "t": 1024 ** 4, "p": 1024 ** 5}
 
 
-def _max_partition_bytes(spark) -> int:
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
-                         str(_DEFAULT_MAX_PARTITION_BYTES))
+def _parse_bytes(raw, default: int) -> int:
+    """Spark size-suffixed conf value → bytes (``default`` when the
+    value is absent or unparseable).  ``int(raw.rstrip('b'))`` is NOT
+    enough: Spark accepts and reports forms like '16m'/'64mb', and
+    silently misreading those as the 128 MiB default skews the split
+    estimate both ways (missed widening, or a redundant exchange in
+    front of an already-wide scan)."""
+    m = _SIZE_RE.match(str(raw).strip().lower())
+    if not m:
+        return default
+    return int(m.group(1)) * _SIZE_MULT[m.group(2)]
+
+
+def _conf_bytes(spark, key: str, default: int) -> int:
     try:
-        return int(str(raw).lower().rstrip("b"))
-    except ValueError:
-        return _DEFAULT_MAX_PARTITION_BYTES
+        raw = spark.conf.get(key, str(default))
+    except Exception:
+        return default
+    return _parse_bytes(raw, default)
+
+
+def _estimated_scan_partitions(spark, sizes: list[int]) -> int:
+    """Spark's FilePartition packing, from file sizes alone: files
+    (size-descending) are cut into maxSplitBytes chunks and greedily
+    binned — a partition closes when the next chunk's RAW length
+    would overflow it, and each added chunk then pads the bin by
+    openCost (the exact order FilePartition.getFilePartitions
+    uses)."""
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes",
+                            _DEFAULT_OPEN_COST_BYTES)
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes",
+                         _DEFAULT_MAX_PARTITION_BYTES)
+    parallelism = max(spark.sparkContext.defaultParallelism, 1)
+    padded = sum(sizes) + len(sizes) * open_cost
+    max_split = int(min(max_pb, max(open_cost, padded / parallelism)))
+    max_split = max(max_split, 1)
+    chunks = []
+    for sz in sorted(sizes, reverse=True):
+        whole, rem = divmod(sz, max_split)
+        chunks.extend([max_split] * whole)
+        if rem or not whole:
+            chunks.append(rem)
+    parts, cur = 0, 0
+    for raw in sorted(chunks, reverse=True):
+        if cur > 0 and cur + raw > max_split:
+            parts += 1
+            cur = 0
+        cur += raw + open_cost
+    return parts + (1 if cur > 0 else 0) or 1
 
 
 def ensure_parallelism(df, key: str = "doc_id"):
     """Repartition ``df`` by ``key`` up to the session's default
-    parallelism iff the scan would yield fewer splits — one tiny
+    parallelism iff the scan would yield fewer partitions — one tiny
     bounded exchange at test scale, a no-op at data scale."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
@@ -45,16 +101,23 @@ def ensure_parallelism(df, key: str = "doc_id"):
         files = df.inputFiles()
     except Exception:
         return df
-    if not files or len(files) >= target:
+    if not files:
+        # non-file-backed frame (in-memory range, streaming source):
+        # no scan metadata to estimate from — fall back to the actual
+        # partition count (these frames are small or already planned,
+        # so the conversion cost the metadata path avoids is moot)
+        try:
+            if df.rdd.getNumPartitions() < target:
+                return df.repartition(target, key)
+        except Exception:
+            pass
         return df
-    total = 0
+    sizes = []
     for f in files:
         path = f[5:] if f.startswith("file:") else f
         if not os.path.exists(path):
             return df          # remote store: splits at data scale
-        total += os.path.getsize(path)
-    splits = max(len(files),
-                 -(-total // _max_partition_bytes(spark)))
-    if splits < target:
+        sizes.append(os.path.getsize(path))
+    if _estimated_scan_partitions(spark, sizes) < target:
         return df.repartition(target, key)
     return df

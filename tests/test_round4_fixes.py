@@ -222,3 +222,143 @@ class TestAutoBucketCount:
         after = [(r["doc_id"], round(r["score"], 9)) for r in
                  FTSIndex(spark, d).search("spark window", k=10).collect()]
         assert before == after
+
+
+class TestZeroTermDeltaBatch:
+    """A delta batch whose changed docs ALL tokenize to zero terms
+    (e.g. moderation blanks a few posts to whitespace/stopwords-only
+    text) must COMMIT, not raise: apply_updates adopts tombstones for
+    the replaced revisions BEFORE the segment builds, so the fresh-
+    build zero-term failure (``allow_empty=False``) would strand the
+    batch mid-apply — old revisions invisible, config commit never
+    written, every retry failing identically (found by review,
+    round 4)."""
+
+    SCHEMA = ("conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp")
+
+    def test_blanking_batch_commits_and_replays(self, spark, tmp_path):
+        import datetime as dt
+
+        from moera_search_spark import manifest as mf
+        from moera_search_spark.build import build_index
+        from moera_search_spark.incremental import apply_updates, compact
+        from moera_search_spark.query import FTSIndex
+
+        ts = dt.datetime(2026, 1, 1)
+        rows = [(f"c-{i:02d}", j, "user", "spark window join", None, ts)
+                for i in range(4) for j in range(3)]
+        idx_dir = str(tmp_path / "idx")
+        build_index(spark, spark.createDataFrame(rows, self.SCHEMA),
+                    idx_dir, n_buckets=2)
+        assert FTSIndex(spark, idx_dir).search("spark", k=20).count() == 12
+
+        blank = [("c-00", 0, "user", "the and of", None, ts),
+                 ("c-01", 1, "user", "   ", None, ts)]
+        res = apply_updates(
+            spark, idx_dir,
+            upserts=spark.createDataFrame(blank, self.SCHEMA),
+            batch_id="b-blank", n_buckets=2)
+        assert res["skipped"] is False
+        assert res["docs_indexed"] == 2 and res["tombstoned"] == 2
+
+        idx = FTSIndex(spark, idx_dir)
+        # old revisions no longer match any query
+        assert idx.search("spark", k=20).count() == 10
+        # the blanked docs are LIVE (point-gettable) with dl = 0
+        blanked = idx.live_docs.filter(
+            "conv_id = 'c-00' and turn_idx = 0").collect()
+        assert len(blanked) == 1 and blanked[0]["dl"] == 0
+        assert idx.live_docs.count() == 12
+        # corpus stats committed: 12 live docs, dl sum of the 10 full
+        cfg = mf.load_config(idx_dir)
+        assert cfg["corpus"]["n_docs"] == 12
+        assert cfg["corpus"]["total_dl"] == 10 * 3
+
+        # exactly-once replay: the batch is recorded, so a retry skips
+        replay = apply_updates(
+            spark, idx_dir,
+            upserts=spark.createDataFrame(blank, self.SCHEMA),
+            batch_id="b-blank", n_buckets=2)
+        assert replay["skipped"] is True
+        assert FTSIndex(spark, idx_dir).search("spark", k=20).count() == 10
+
+        # compaction over the mixed live set (10 termful + 2 termless)
+        compact(spark, idx_dir, n_buckets=2)
+        idx2 = FTSIndex(spark, idx_dir)
+        assert idx2.search("spark", k=20).count() == 10
+        assert idx2.docs.filter("dl = 0").count() == 2
+
+    def test_fresh_build_still_fails_loudly(self, spark, tmp_path):
+        """allow_empty is the delta-segment contract only — a fresh
+        standalone build of an all-empty corpus keeps the loud
+        refusal (a term-less base index answers nothing and its
+        postings dir has no files to open)."""
+        import datetime as dt
+
+        import pytest as _pytest
+
+        from moera_search_spark.build import build_index
+
+        ts = dt.datetime(2026, 1, 1)
+        rows = [("c", j, "user", "the", None, ts) for j in range(3)]
+        with _pytest.raises(ValueError, match="zero indexable terms"):
+            build_index(spark, spark.createDataFrame(rows, self.SCHEMA),
+                        str(tmp_path / "idx"), n_buckets=2)
+
+
+class TestSplitEstimate:
+    """ensure_parallelism's metadata-only split estimate must mirror
+    Spark's FilePartition packing (maxSplitBytes from maxPartitionBytes
+    / openCostInBytes / defaultParallelism), not a bare file count —
+    Spark bin-packs small files, so N files is NOT N splits.  And the
+    byte-size conf parser must accept Spark's suffixed forms ('16m',
+    '64mb'), not just bare ints (found by review, round 4)."""
+
+    def test_parse_bytes_suffixes(self):
+        from moera_search_spark.operators._parallel import _parse_bytes
+
+        d = 128 * 1024 * 1024
+        assert _parse_bytes("134217728", d) == 134217728
+        assert _parse_bytes("134217728b", d) == 134217728
+        assert _parse_bytes("16m", d) == 16 * 1024 ** 2
+        assert _parse_bytes("64mb", d) == 64 * 1024 ** 2
+        assert _parse_bytes("128MB", d) == 128 * 1024 ** 2
+        assert _parse_bytes("1g", d) == 1024 ** 3
+        assert _parse_bytes("512k", d) == 512 * 1024
+        assert _parse_bytes(" 2GB ", d) == 2 * 1024 ** 3
+        assert _parse_bytes("garbage", d) == d
+        assert _parse_bytes("", d) == d
+
+    def test_estimate_matches_spark_packing(self, spark, tmp_path):
+        """Two tiny files pack into 2 Spark partitions (each padded by
+        openCost); the estimate must agree and the helper must widen.
+        A single just-under-maxPartitionBytes file is 1 partition."""
+        from moera_search_spark.operators._parallel import (
+            _estimated_scan_partitions, ensure_parallelism)
+
+        target = spark.sparkContext.defaultParallelism
+        est = _estimated_scan_partitions(spark, [1024, 1024])
+        assert est == 2
+        p = str(tmp_path / "two_files")
+        spark.range(100).repartition(2).write.parquet(p)
+        df = spark.read.parquet(p)
+        assert df.rdd.getNumPartitions() == est   # Spark agrees
+        out = ensure_parallelism(df, key="id")
+        assert out.rdd.getNumPartitions() == target
+        assert sorted(r.id for r in out.collect()) == list(range(100))
+
+    def test_nonfile_frame_fallback(self, spark):
+        """Non-file-backed frames have no scan metadata — the helper
+        falls back to the actual partition count (old behavior)
+        instead of unconditionally passing narrow frames through."""
+        from moera_search_spark.operators._parallel import (
+            ensure_parallelism,
+        )
+
+        target = spark.sparkContext.defaultParallelism
+        narrow = spark.range(1000).coalesce(1)
+        out = ensure_parallelism(narrow, key="id")
+        assert out.rdd.getNumPartitions() == target
+        wide = spark.range(1000).repartition(target + 4, "id")
+        assert ensure_parallelism(wide, key="id") is wide
