@@ -596,15 +596,17 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
 
     ``allow_empty`` permits a corpus whose documents ALL tokenize to
     zero terms: docs/stats still get written (the docs stay
-    point-gettable, dl=0) but the postings and sidecar stages are
-    skipped — there is nothing to encode and no term any query could
-    match.  Delta-segment builds (incremental.apply_updates) set
-    this: a batch that blanks a few documents' text to
-    whitespace/stopwords-only is legitimate there, and the segment's
-    files are adopted into a base index that has its own postings.
-    A fresh standalone build keeps the loud failure — a term-less
-    base index would "look built" but answer nothing, and FTSIndex
-    cannot open a postings dir with no files.
+    point-gettable, dl=0) and there is nothing to encode and no term
+    any query could match.  Delta-segment builds
+    (incremental.apply_updates) set this — a batch that blanks a few
+    documents' text to whitespace/stopwords-only is legitimate, and
+    the segment's files are adopted into a base index that has its
+    own postings (the segment writes no postings at all).  compact()
+    sets it too: a standalone rebuild (doc_id_offset == 0) writes
+    schema-only flat empty postings/pc_bounds so the resulting index
+    still opens.  A fresh standalone build WITHOUT the flag keeps the
+    loud failure — silently committing a term-less base index that
+    "looks built" but answers nothing is an upstream data bug.
     """
     from pyspark.sql import functions as F
 
@@ -956,11 +958,26 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
 
     def _job_postings_empty():
         # allow_empty path, zero terms: a partitionBy write of an
-        # empty frame leaves a fileless dir no reader can open, and
-        # the sidecar's read of it would crash — both stages are
-        # vacuously complete instead (nothing to encode, nothing to
-        # bound).  Only the docs/stats outputs exist; segment
-        # adoption walks whatever files are present.
+        # empty frame leaves a fileless dir no reader can open, so
+        # the hive-layout write is skipped either way.  For a
+        # STANDALONE build (doc_id_offset == 0 — a fresh allow_empty
+        # build or compact() over a live corpus whose text was all
+        # blanked) the index must still OPEN, so schema-only flat
+        # empty tables are written instead: term_bucket is a physical
+        # column there, every query filter matches zero rows, and
+        # FTSIndex/`_pc_bounds_pdf` read them like any other index.
+        # A DELTA segment (doc_id_offset > 0) writes neither — its
+        # files get adopted into the base's hive-partitioned dirs,
+        # where a root-level flat file would break partition
+        # discovery; adoption walks whatever files exist.
+        if doc_id_offset == 0:
+            spark.createDataFrame([], POSTINGS_SCHEMA_DDL) \
+                .write.mode("overwrite") \
+                .parquet(os.path.join(index_dir, "postings"))
+            spark.createDataFrame(
+                [], "term string, term_bucket int, pc long, mtf double") \
+                .write.mode("overwrite") \
+                .parquet(os.path.join(index_dir, "pc_bounds"))
         mf.mark(index_dir, "pc_bounds", [-1], "done")
 
     jobs = [(stage, fn) for stage, fn in

@@ -348,7 +348,13 @@ def compact(spark, index_dir: str, *,
         spark, transcripts, tmp, mode=config["mode"], n_buckets=n_buckets,
         k1=config["k1"], b=config["b"], block_size=config["block_size"],
         chunk_size=config["chunk_size"],
-        n_term_buckets=config.get("n_term_buckets", 16))
+        n_term_buckets=config.get("n_term_buckets", 16),
+        # the live corpus can be legitimately term-less (apply_updates
+        # permits blanking every doc's text); the rebuild then writes
+        # schema-only empty postings/pc_bounds (standalone allow_empty
+        # path) so the compacted index still opens and tombstones are
+        # actually reclaimed instead of compact() raising forever
+        allow_empty=True)
     old = index_dir.rstrip("/") + ".precompact"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(index_dir, old)

@@ -420,7 +420,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     raise ValueError("no SOS marker found")
 
 
-def _decode_entropy(segs, tmpl_tabs, n_mcus, B, ri):
+def _decode_entropy(segs, tmpl_tabs, n_mcus, ri):
     """Phase 1: the bit-serial Huffman pass — the only part of the
     decoder that cannot vectorize (every symbol's position depends on
     the previous symbol's length).  Cost per coefficient is one
@@ -573,7 +573,7 @@ def _decode_scan(frame, scan, qtables, htables, ri, segs) -> np.ndarray:
                           ac[2], ac[3], ac[4]))
 
     dc_diffs, ac_bk, ac_val = _decode_entropy(
-        segs, tmpl_tabs, n_mcus, B, ri)
+        segs, tmpl_tabs, n_mcus, ri)
 
     # ---- phase 2: everything below is whole-image vectorized numpy
     comp_seq = np.tile(np.array([si for si, _, _ in tmpl], np.int64),

@@ -362,3 +362,42 @@ class TestSplitEstimate:
         assert out.rdd.getNumPartitions() == target
         wide = spark.range(1000).repartition(target + 4, "id")
         assert ensure_parallelism(wide, key="id") is wide
+
+
+class TestCompactBlankedCorpus:
+    SCHEMA = TestZeroTermDeltaBatch.SCHEMA
+
+    def test_compact_fully_blanked_corpus(self, spark, tmp_path):
+        """compact() over a live corpus whose text was ALL blanked
+        (legal via apply_updates) must succeed and leave an OPENABLE
+        index: schema-only empty postings/pc_bounds, every doc live
+        with dl=0, tombstones reclaimed, queries answering empty
+        (found by review, round 4)."""
+        import datetime as dt
+
+        from moera_search_spark.build import build_index
+        from moera_search_spark.incremental import apply_updates, compact
+        from moera_search_spark.query import FTSIndex
+
+        ts = dt.datetime(2026, 1, 1)
+        rows = [(f"c-{i}", j, "user", "spark window join", None, ts)
+                for i in range(2) for j in range(3)]
+        idx_dir = str(tmp_path / "idx")
+        build_index(spark, spark.createDataFrame(rows, self.SCHEMA),
+                    idx_dir, n_buckets=2)
+        blank = [(f"c-{i}", j, "user", "   ", None, ts)
+                 for i in range(2) for j in range(3)]
+        apply_updates(spark, idx_dir,
+                      upserts=spark.createDataFrame(blank, self.SCHEMA),
+                      batch_id="b-blank-all", n_buckets=2)
+        res = compact(spark, idx_dir, n_buckets=2)
+        assert res["n_docs"] == 6
+        idx = FTSIndex(spark, idx_dir)
+        assert idx.search("spark window", k=10).count() == 0
+        assert idx.docs.filter("dl = 0").count() == 6
+        assert idx.live_docs.count() == 6
+        # compaction reclaimed the tombstones
+        import os as _os
+        tomb = _os.path.join(idx_dir, "tombstones")
+        assert (not _os.path.isdir(tomb)) or not any(
+            f.endswith(".parquet") for f in _os.listdir(tomb))
