@@ -228,20 +228,20 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         texts = [q["query_text"] for q in qset]
         seq = 0.0
         for txt in texts:
-            best = None
-            for _attempt in range(2):
+            warm = None
+            for _attempt in range(2):          # 2nd run = warm latency
                 t0 = time.time()
                 idx.search(txt, k=10, method="exhaustive").collect()
-                best = time.time() - t0
-            seq += best
-        best = None
-        for _attempt in range(2):
+                warm = time.time() - t0
+            seq += warm
+        warm = None
+        for _attempt in range(2):              # 2nd run = warm latency
             t0 = time.time()
             idx.search_many(texts, k=10).collect()
-            best = time.time() - t0
-        out["search_many_wall_sec"] = round(best, 3)
+            warm = time.time() - t0
+        out["search_many_wall_sec"] = round(warm, 3)
         out["sequential_wall_sec"] = round(seq, 3)
-        out["search_many_speedup"] = round(seq / best, 2)
+        out["search_many_speedup"] = round(seq / warm, 2)
     spark.stop()
     with open(out_path, "w") as f:
         json.dump(out, f)

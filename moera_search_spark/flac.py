@@ -450,6 +450,13 @@ def decode_flac(buf: bytes, verify_md5: bool = False) \
         got += blocksize
     if got == 0:
         raise ValueError("FLAC stream contains no frames")
+    if total and got < total:
+        # clean truncation at a frame boundary passes every CRC yet
+        # delivers fewer samples than STREAMINFO promises — surface
+        # it loudly like every other corruption instead of silently
+        # computing features over the wrong duration
+        raise ValueError(
+            f"truncated FLAC stream: decoded {got} of {total} samples")
     out = np.stack([np.concatenate(c) if len(c) > 1 else c[0]
                     for c in chans])
     if total:

@@ -321,7 +321,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}
+    htables: dict[tuple[int, int], tuple] = {}   # (cls,id) -> _huffman_lut 5-tuple
     restart_interval = 0
     frame = None
     prog_coefs = None

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import re
+from urllib.parse import unquote
 
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 _DEFAULT_OPEN_COST_BYTES = 4 * 1024 * 1024
@@ -114,7 +115,11 @@ def ensure_parallelism(df, key: str = "doc_id"):
         return df
     sizes = []
     for f in files:
-        path = f[5:] if f.startswith("file:") else f
+        # inputFiles() returns Hadoop URIs: strip the scheme AND
+        # percent-decoding (a space in the path arrives as %20; an
+        # undecoded path would fail the exists() check and silently
+        # skip the widening this helper exists to perform)
+        path = unquote(f[5:]) if f.startswith("file:") else f
         if not os.path.exists(path):
             return df          # remote store: splits at data scale
         sizes.append(os.path.getsize(path))

@@ -401,3 +401,62 @@ class TestCompactBlankedCorpus:
         tomb = _os.path.join(idx_dir, "tombstones")
         assert (not _os.path.isdir(tomb)) or not any(
             f.endswith(".parquet") for f in _os.listdir(tomb))
+
+
+class TestReviewHardening:
+    """Round-4 review findings: truncated-FLAC loudness and
+    percent-encoded local paths in ensure_parallelism."""
+
+    def test_flac_truncation_at_frame_boundary_raises(self):
+        """A FLAC stream cut cleanly at a frame boundary passes every
+        CRC yet carries fewer samples than STREAMINFO promises —
+        decode must raise, not silently return a short array."""
+        import numpy as np
+        import pytest as _pytest
+
+        from moera_search_spark.flac import decode_flac, encode_flac
+
+        t = np.arange(192 * 40, dtype=np.float64)
+        pcm = (2000 * np.sin(2 * np.pi * 440.0 * t / 8000)).astype(
+            np.int16)[None, :]
+        buf = encode_flac(pcm, 8000, blocksize=192)
+        full, _ = decode_flac(buf)
+        assert full.shape[1] == 192 * 40
+        # frame starts are byte-aligned 14-bit sync 0x3FFE; scan for
+        # candidates past the header and truncate at each — a clean
+        # frame-boundary cut must raise the truncation error, a
+        # mid-frame cut raises sync/CRC/EOF; none may return short
+        start = buf.index(b"\xff\xf8", 4)
+        cands = [i for i in range(start + 1, len(buf) - 1)
+                 if buf[i] == 0xFF and (buf[i + 1] & 0xFC) == 0xF8]
+        assert cands, "no frame-boundary candidates found"
+        boundary_hits = 0
+        for cut in cands[len(cands) // 2:len(cands) // 2 + 8]:
+            try:
+                out, _ = decode_flac(buf[:cut])
+            except ValueError as e:
+                boundary_hits += "truncated FLAC stream" in str(e)
+            except EOFError:
+                pass
+            else:
+                assert out.shape[1] == 192 * 40, \
+                    "decode returned short without raising"
+        assert boundary_hits >= 1
+
+    def test_ensure_parallelism_percent_encoded_path(self, spark,
+                                                     tmp_path):
+        """inputFiles() percent-encodes local URIs (space -> %20);
+        the helper must decode before the exists() probe or it
+        silently skips the widening for such paths."""
+        from moera_search_spark.operators._parallel import (
+            ensure_parallelism,
+        )
+
+        target = spark.sparkContext.defaultParallelism
+        p = str(tmp_path / "with space" / "tbl")
+        spark.range(100).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        assert any("%20" in f for f in df.inputFiles())
+        out = ensure_parallelism(df, key="id")
+        assert out.rdd.getNumPartitions() == target
+        assert sorted(r.id for r in out.collect()) == list(range(100))
