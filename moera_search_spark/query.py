@@ -501,6 +501,91 @@ class FTSIndex:
         surviving set → plain exhaustive, rank-identical by
         definition.
         """
+        decision = self._sidecar_surviving(idf, filters, k,
+                                           seed_chunks, G, pdf)
+        if decision[0] == "empty":
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        if decision[0] == "theta_none":
+            return self._pruned_scored_dynamic(
+                postings_sel, idf, filters, k, seed_chunks, G)
+        if decision[0] == "all":
+            return self._score(postings_sel, idf, filters)
+        _, surviving, strict = decision
+        blocks = self._select_pcs(postings_sel, surviving, G, "blocks")
+        scored = self._score(blocks, idf, filters)
+        if strict:
+            scored = self._select_pcs(scored, surviving, G, "docs")
+        return scored
+
+    def _select_term_pcs(self, blocks, pairs_pdf, G: int):
+        """Per-TERM pc-overlap block selection for the batched pruned
+        path (``search_many``): ``pairs_pdf`` holds the (term, pc)
+        scan units, and a block of term t is kept iff its doc range
+        overlaps one of t's OWN pcs — the same pc-sequence explode +
+        broadcast semi-join as ``_select_pcs(kind='blocks')`` but
+        keyed on both columns, so no term scans another query's
+        surviving pcs."""
+        from pyspark.sql import functions as F
+
+        pairs = F.broadcast(self.spark.createDataFrame(
+            pairs_pdf.astype({"pc": "int64"})))
+        keyed = blocks.withColumn("pc", F.explode(
+            F.sequence((F.col("first_doc_id") / G).cast("long"),
+                       (F.col("last_doc_id") / G).cast("long"))))
+        return (keyed.join(pairs, ["term", "pc"], "left_semi")
+                .dropDuplicates(["term", "first_doc_id"]).drop("pc"))
+
+    def _seed_context(self) -> dict:
+        """Shared driver-side read handles for a BATCH of seed-θ
+        folds (``search_many``): postings dataset discovery and the
+        tombstone doc_id read happen once instead of once per query.
+        Built per call — never cached on the instance — so a new
+        index generation can't be served stale handles."""
+        import pyarrow.dataset as pads
+
+        from .incremental import TOMBSTONES
+
+        ctx: dict = {"tomb": None}
+        try:
+            ctx["dset"] = pads.dataset(
+                os.path.join(self.index_dir, "postings"),
+                partitioning="hive")
+        except Exception:
+            ctx["dset"] = None
+        tomb_dir = os.path.join(self.index_dir, TOMBSTONES)
+        if os.path.isdir(tomb_dir):
+            files = [os.path.join(tomb_dir, f)
+                     for f in os.listdir(tomb_dir)
+                     if f.endswith(".parquet")]
+            if sum(os.path.getsize(f) for f in files) \
+                    > self.TOMBSTONE_READ_MAX:
+                ctx["tomb"] = "oversized"
+            elif files:
+                ctx["tomb"] = pads.dataset(files).to_table(
+                    columns=["doc_id"])["doc_id"].to_numpy()
+        return ctx
+
+    def _sidecar_surviving(self, idf, filters, k: int,
+                           seed_chunks: int, G: int, pdf, ctx=None):
+        """The driver-side pruning DECISION of the sidecar path,
+        factored out so the single-query (``_pruned_scored_sidecar``)
+        and batched (``search_many``) paths share it verbatim.
+
+        Given the query's idf map and its ``pc_bounds`` rows, returns
+        one of::
+
+            ("empty",)                    no bound rows → no matches
+            ("theta_none",)               seed-θ pass signalled
+                                          fallback (oversized
+                                          tombstones / unreadable
+                                          metadata)
+            ("all",)                      pruning too weak to pay, or
+                                          surviving set oversized →
+                                          score everything
+            ("pruned", surviving, strict) sorted surviving pc list +
+                                          the negative-idf strict flag
+        """
         import numpy as np
 
         strict = any(v < 0 for v in idf.values())
@@ -519,13 +604,11 @@ class FTSIndex:
         seed_pcs = sorted(int(p) for p in
                           order["pc"].head(seed_chunks).to_numpy())
         if not seed_pcs:
-            return self.spark.createDataFrame(
-                [], "doc_id long, score double")
+            return ("empty",)
         theta = self._driver_seed_theta(sorted(idf), idf, filters,
-                                        seed_pcs, G, k)
+                                        seed_pcs, G, k, ctx=ctx)
         if theta is None:
-            return self._pruned_scored_dynamic(
-                postings_sel, idf, filters, k, seed_chunks, G)
+            return ("theta_none",)
         if np.isfinite(theta):
             theta -= 1e-9          # cross-path float-parity slack
         surviving = sorted(int(p) for p, bnd in bounds.items()
@@ -533,15 +616,11 @@ class FTSIndex:
         pruned_frac = 1.0 - len(surviving) / max(len(bounds), 1)
         if pruned_frac < self.PRUNE_MIN_FRACTION \
                 or len(surviving) > self.SURVIVING_MAX_PCS:
-            return self._score(postings_sel, idf, filters)
-        blocks = self._select_pcs(postings_sel, surviving, G, "blocks")
-        scored = self._score(blocks, idf, filters)
-        if strict:
-            scored = self._select_pcs(scored, surviving, G, "docs")
-        return scored
+            return ("all",)
+        return ("pruned", surviving, strict)
 
     def _driver_seed_theta(self, matched, idf, filters, seed_pcs,
-                           G: int, k: int):
+                           G: int, k: int, ctx=None):
         """Exact θ (kth best true score among live, filter-passing
         docs whose own pc is a seed) computed entirely on the driver.
 
@@ -571,9 +650,14 @@ class FTSIndex:
                  & (pads.field("last_doc_id") >= lo * G))
             ov = p if ov is None else (ov | p)
         try:
-            dset = pads.dataset(
-                os.path.join(self.index_dir, "postings"),
-                partitioning="hive")
+            if ctx is not None:
+                dset = ctx["dset"]     # shared batch handle
+                if dset is None:
+                    return None        # discovery failed once, for all
+            else:
+                dset = pads.dataset(
+                    os.path.join(self.index_dir, "postings"),
+                    partitioning="hive")
             tbl = dset.to_table(
                 filter=(pads.field("term").isin(matched)
                         & pads.field("term_bucket").isin(buckets) & ov),
@@ -598,20 +682,29 @@ class FTSIndex:
         if doc_ids.size == 0:
             return float("-inf")
         # live-docs mask (tombstones), bounded driver read
-        tomb_dir = os.path.join(self.index_dir, TOMBSTONES)
-        if os.path.isdir(tomb_dir):
-            files = [os.path.join(tomb_dir, f)
-                     for f in os.listdir(tomb_dir)
-                     if f.endswith(".parquet")]
-            if sum(os.path.getsize(f) for f in files) \
-                    > self.TOMBSTONE_READ_MAX:
+        if ctx is not None:
+            tomb = ctx["tomb"]         # read once for the whole batch
+            if isinstance(tomb, str):  # "oversized"
                 return None
-            if files:
-                tomb = pads.dataset(files).to_table(
-                    columns=["doc_id"])["doc_id"].to_numpy()
+            if tomb is not None:
                 keep = ~np.isin(doc_ids, tomb)
                 doc_ids, contrib, terms_rep = \
                     doc_ids[keep], contrib[keep], terms_rep[keep]
+        else:
+            tomb_dir = os.path.join(self.index_dir, TOMBSTONES)
+            if os.path.isdir(tomb_dir):
+                files = [os.path.join(tomb_dir, f)
+                         for f in os.listdir(tomb_dir)
+                         if f.endswith(".parquet")]
+                if sum(os.path.getsize(f) for f in files) \
+                        > self.TOMBSTONE_READ_MAX:
+                    return None
+                if files:
+                    tomb = pads.dataset(files).to_table(
+                        columns=["doc_id"])["doc_id"].to_numpy()
+                    keep = ~np.isin(doc_ids, tomb)
+                    doc_ids, contrib, terms_rep = \
+                        doc_ids[keep], contrib[keep], terms_rep[keep]
         if filters and doc_ids.size:
             allowed = self._driver_filter_docs(filters, intervals, G)
             if allowed is None:
@@ -814,7 +907,7 @@ class FTSIndex:
                 .limit(k))
 
     def search_many(self, query_texts: list[str], k: int = 10,
-                    filters: dict | None = None):
+                    filters: dict | None = None, method: str = "auto"):
         """Batched top-k BM25: Q queries answered by ONE Spark job that
         shares a single postings scan + decode + per-doc pivot (the
         serving shape for the reference query SET — Q sequential
@@ -825,17 +918,45 @@ class FTSIndex:
         and bit-identical to ``search(..., method='exhaustive')`` with
         the same shared ``filters``.
 
+        ``method='pruned'`` (the ``'auto'`` pick when the build-time
+        ``pc_bounds`` sidecar is present) batches the sidecar path
+        too: per-query θ and surviving-pc sets come from ONE shared
+        sidecar read + Q driver-side seed folds
+        (``_sidecar_surviving`` — the exact decision the single-query
+        path makes, sharing one dataset/tombstone handle via
+        ``_seed_context``), and the one Spark pass selects blocks
+        PER TERM — term t scans only the pcs surviving for queries
+        that contain t, intersected with t's own pc domain
+        (``_select_term_pcs``) — so the batch decodes ≈ the union of
+        the per-query pruned scans, not |terms| × |union pcs|.
+        Admissibility per query q is the single-path argument
+        unchanged: every true top-k doc's own pc survives q's θ, and
+        for each of ITS terms t that pc is a (t, pc) domain row, so
+        the doc is fully scored; any doc from a pc outside q's
+        surviving set scores partial ≤ full ≤ bound < θ_q and cannot
+        displace q's top-k — extra blocks other queries pull in are
+        harmless.  Negative-idf (strict-regime) queries additionally
+        restrict their candidates to docs whose own pc survives,
+        mirroring the single path.  A query the sidecar can't prune
+        (seed-θ fallback, per-query weak pruning) degrades ONLY
+        itself: its terms are scanned in full (plain term filter, no
+        pair join) while the other queries keep their pruning; a
+        batch-level gate on the total (term, pc) domain dropped falls
+        all the way back to the exhaustive batch — rank-identical by
+        definition, never worse than the unbatched exhaustive scan.
+
         Plan shape: union-term postings scan (term_bucket dir pruning
-        over the union's buckets) → one vectorized decode →
-        ``_score``'s per-doc pivot over the union terms (map-side
-        partial agg) → per-PARTITION per-query top-k in one Arrow pass
-        — the kth-score cut happens before any per-query shuffle, so
-        no query funnels its full match set through one task (the
-        multi-query analogue of TakeOrderedAndProject's partial
-        top-k) → exact per-query top-k over the ≤ partitions·Q·k
-        survivors.  Per-query score folds run in the same sorted-term
-        left-to-right order as ``_score``, so doubles agree
-        bit-for-bit with the single-query path."""
+        over the union's buckets; pc-range block selection when
+        pruned) → one vectorized decode → ``_score``'s per-doc pivot
+        over the union terms (map-side partial agg) → per-PARTITION
+        per-query top-k in one Arrow pass — the kth-score cut happens
+        before any per-query shuffle, so no query funnels its full
+        match set through one task (the multi-query analogue of
+        TakeOrderedAndProject's partial top-k) → exact per-query
+        top-k over the ≤ partitions·Q·k survivors.  Per-query score
+        folds run in the same sorted-term left-to-right order as
+        ``_score``, so doubles agree bit-for-bit with the
+        single-query path."""
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
@@ -847,7 +968,108 @@ class FTSIndex:
             [], "query_id int, doc_id long, score double")
         if not union_terms:
             return empty
-        decoded = self._postings_for(union_terms).mapInPandas(
+        if method == "auto":
+            # batched pruning needs the sidecar (there is no batched
+            # dynamic-bounds plan); without it, exhaustive IS the
+            # batched strategy
+            method = ("pruned" if ("pc_granularity" in self.config
+                      and os.path.isdir(os.path.join(
+                          self.index_dir, "pc_bounds")))
+                      else "exhaustive")
+        elif method not in ("exhaustive", "pruned"):
+            raise ValueError(f"unknown method {method}")
+        G = max(64, self.chunk_size // 32)
+        restrict_pcs: dict[int, "np.ndarray"] | None = None
+        block_pairs = None          # (term, pc) scan units when pruned
+        if method == "pruned" and "pc_granularity" in self.config \
+                and G == int(self.config["pc_granularity"]):
+            pdf = self._pc_bounds_pdf(union_terms)
+            if pdf is not None:
+                term_pcs: dict[str, set[int]] = {}
+                full_terms: set[str] = set()
+                restrict: dict[int, list[int]] = {}
+                any_matched = False
+                ctx = self._seed_context()
+                for qi, mq in enumerate(matched_q):
+                    if not mq:
+                        continue
+                    idf_q = {t: idf[t] for t in mq}
+                    sub = pdf[pdf["term"].isin(mq)]
+                    decision = self._sidecar_surviving(
+                        idf_q, filters, k, 32, G, sub, ctx=ctx)
+                    if decision[0] == "empty":
+                        restrict[qi] = []
+                        continue
+                    any_matched = True
+                    if decision[0] in ("theta_none", "all"):
+                        # unprunable query: every one of ITS terms
+                        # must be scanned in full for its docs to be
+                        # fully scored — but the OTHER queries keep
+                        # their pruning
+                        full_terms.update(mq)
+                    else:
+                        _, surviving, strict = decision
+                        for t in mq:
+                            term_pcs.setdefault(t, set()) \
+                                .update(surviving)
+                        if strict:
+                            restrict[qi] = surviving
+                if not any_matched and restrict:
+                    return empty        # every query matched nothing
+                # a term any unprunable query needs stays full-scan
+                for t in full_terms:
+                    term_pcs.pop(t, None)
+                if term_pcs:
+                    # Scan units for the restricted terms: term t's
+                    # blocks are selected only over pcs surviving for
+                    # a query CONTAINING t, intersected with t's own
+                    # pc domain (safe: a doc needing full scoring for
+                    # q sits in a surviving pc p and contains t, so
+                    # (t, p) is a domain row).  A pc-ONLY union
+                    # restriction would make every union term scan
+                    # every other query's surviving pcs too —
+                    # measured 0.73× vs sequential pruned at 3.9M
+                    # docs before this refinement.
+                    dom = pdf[["term", "pc"]].drop_duplicates()
+                    rdom = dom[dom["term"].isin(term_pcs)]
+                    sel = pd.DataFrame({
+                        "term": np.repeat(
+                            np.array(list(term_pcs), dtype=object),
+                            [len(s) for s in term_pcs.values()]),
+                        "pc": np.fromiter(
+                            (p for s in term_pcs.values() for p in s),
+                            dtype=np.int64,
+                            count=sum(len(s)
+                                      for s in term_pcs.values()))})
+                    pairs = rdom.merge(sel, on=["term", "pc"])
+                    # batch gate: pruning must drop enough of the
+                    # TOTAL union-term block domain to pay for the
+                    # pair join, and the broadcast side must stay
+                    # bounded (the single-query gates, applied batch-
+                    # wide — full-scan terms count as unpruned)
+                    pruned_frac = (len(rdom) - len(pairs)) \
+                        / max(len(dom), 1)
+                    if pruned_frac >= self.PRUNE_MIN_FRACTION \
+                            and len(pairs) <= self.SURVIVING_MAX_PCS:
+                        block_pairs = pairs
+                        restrict_pcs = {
+                            qi: np.asarray(s, dtype=np.int64)
+                            for qi, s in restrict.items()} or None
+                    # gate failed → exhaustive batch; NO restriction
+                    # may apply then (exhaustive scores every doc
+                    # fully, so dropping docs outside a strict
+                    # query's surviving set would be wrong)
+        postings_sel = self._postings_for(union_terms)
+        if block_pairs is not None:
+            restricted_terms = sorted(term_pcs)
+            unrestricted = postings_sel.filter(
+                ~F.col("term").isin(restricted_terms))
+            selected = self._select_term_pcs(
+                postings_sel.filter(
+                    F.col("term").isin(restricted_terms)),
+                block_pairs, G)
+            postings_sel = unrestricted.unionByName(selected)
+        decoded = postings_sel.mapInPandas(
             _decode_score_iter({t: idf[t] for t in union_terms},
                                self.avgdl, self.k1, self.b),
             DECODED_SCHEMA)
@@ -879,6 +1101,11 @@ class FTSIndex:
                         continue
                     sub = cols[:, idxs]
                     hit = ~np.all(np.isnan(sub), axis=1)
+                    if restrict_pcs is not None \
+                            and qi in restrict_pcs:
+                        # strict-regime (negative-idf) query: only
+                        # docs whose OWN pc survived its θ may place
+                        hit &= np.isin(docs // G, restrict_pcs[qi])
                     if not hit.any():
                         continue
                     # same fold as _score: 0.0 + coalesce(c, 0.0) in

@@ -158,3 +158,85 @@ class TestSearchMany:
     def test_all_unmatched_returns_empty(self, built_index):
         assert built_index.search_many(["zzzqqqxxyy"], k=5) \
             .count() == 0
+
+
+class TestSearchManyPruned:
+    """Batched sidecar pruning (``search_many(method='pruned')``):
+    per-query θ + surviving sets from the shared ``pc_bounds`` read,
+    ONE scan over the union of surviving pcs.  Pruning is FORCED
+    through the prunability gate (the tiny corpus would otherwise
+    route every query to exhaustive), and every query's rows must stay
+    rank- AND bit-identical to sequential exhaustive ``search()`` —
+    the union-scan admissibility argument checked in practice."""
+
+    @pytest.fixture()
+    def forced(self, built_index):
+        built_index.PRUNE_MIN_FRACTION = -1.0
+        try:
+            yield built_index
+        finally:
+            del built_index.PRUNE_MIN_FRACTION
+
+    @staticmethod
+    def _by_query(rows):
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), float(r["score"])))
+        return by_q
+
+    def _assert_matches_sequential(self, idx, texts, k,
+                                   filters=None, method="pruned"):
+        got = self._by_query(
+            idx.search_many(texts, k=k, filters=filters,
+                            method=method).collect())
+        for qi, text in enumerate(texts):
+            single = [(int(r["doc_id"]), float(r["score"])) for r in
+                      idx.search(text, k=k, filters=filters,
+                                 method="exhaustive").collect()]
+            assert got.get(qi, []) == single, f"query {qi}: {text!r}"
+
+    def test_forced_pruned_matches_sequential(self, forced):
+        texts = [q["query_text"] for q in QUERIES]
+        self._assert_matches_sequential(forced, texts, k=10)
+
+    def test_forced_pruned_with_shared_filters(self, forced):
+        texts = ["spark shuffle partition", "data table join"]
+        self._assert_matches_sequential(forced, texts, k=5,
+                                        filters={"role": "user"})
+
+    def test_decision_branch_is_pruned(self, forced):
+        """The forced batch must actually take the per-query
+        ``("pruned", ...)`` branch of ``_sidecar_surviving`` — not
+        fall through to exhaustive — for every reference query."""
+        G = max(64, forced.chunk_size // 32)
+        assert int(forced.config["pc_granularity"]) == G
+        for q in QUERIES:
+            terms = [t for t in forced.query_terms(q["query_text"])]
+            idf = forced.idf_map(terms)
+            if not idf:
+                continue
+            pdf = forced._pc_bounds_pdf(sorted(idf))
+            assert pdf is not None
+            decision = forced._sidecar_surviving(
+                idf, None, 10, 32, G, pdf)
+            assert decision[0] == "pruned", (q["query_id"], decision)
+
+    def test_unprunable_query_forces_exhaustive_batch(self, forced):
+        """SURVIVING_MAX_PCS = 0 makes every query's decision
+        ``("all",)`` → the whole batch must fall back to the plain
+        exhaustive scan and stay identical."""
+        forced.SURVIVING_MAX_PCS = 0
+        try:
+            texts = [q["query_text"] for q in QUERIES[:3]]
+            self._assert_matches_sequential(forced, texts, k=10)
+        finally:
+            del forced.SURVIVING_MAX_PCS
+
+    def test_auto_picks_pruned_with_sidecar(self, built_index):
+        """method='auto' must route through the batched pruned path
+        when the sidecar exists (gates may still choose 'all' per
+        query — identity is the contract either way)."""
+        texts = [q["query_text"] for q in QUERIES[:4]]
+        self._assert_matches_sequential(built_index, texts, k=10,
+                                        method="auto")

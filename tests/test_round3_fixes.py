@@ -143,6 +143,31 @@ class TestPrunedThetaMultiPc:
                             self._exhaustive_topk(idx, q, k), \
                             (q, k, seeds, dyn)
 
+    def test_batched_pruned_strict_regime(self, idx):
+        """Round-4 batched path on the SAME engineered corpus: a
+        negative-idf query inside a ``search_many`` batch must apply
+        the strict own-pc restriction per query — doc 64's inflated
+        partial score must not displace doc 30 in the batched output
+        either, while the non-strict sibling query stays untouched."""
+        idf = idx.idf_map(["alpha"])
+        assert idf["alpha"] < 0
+        texts = ["bravo alpha", "bravo", "alpha"]
+        idx.PRUNE_MIN_FRACTION = -1.0
+        try:
+            got = idx.search_many(texts, k=3,
+                                  method="pruned").collect()
+        finally:
+            del idx.PRUNE_MIN_FRACTION
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), round(float(r["score"]), 10)))
+        for qi, text in enumerate(texts):
+            assert by_q.get(qi, []) == \
+                self._exhaustive_topk(idx, text, 3), (qi, text)
+        # the sharp scenario itself: true order is 5, 30 then 64
+        assert [d for d, _ in by_q[0]] == [5, 30, 64]
+
     def test_sidecar_engaged_and_fallback(self, idx, spark):
         import shutil
 
