@@ -262,6 +262,44 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         # its best single-query method (the sidecar pruned path)
         out["search_many_speedup_vs_pruned"] = round(
             seqs["pruned"] / warm, 2)
+
+    if with_queries and not tag:
+        # Positional-index leg (small engine leg only — the headline
+        # build legs stay positions-less for round-over-round
+        # continuity): one positions=True build on the same corpus
+        # (single sample vs the min-of-2 baseline, so the overhead
+        # ratio is an upper-ish bound under box noise), then exact-
+        # phrase p50 over deterministic word windows from real docs.
+        settle()
+        pos_dir = os.path.join(scratch, "idx_pos")
+        t0 = time.time()
+        build_index(spark, tr, pos_dir, n_buckets=n_bkts,
+                    positions=True)
+        pos_build = time.time() - t0
+        out["build_positions_sec"] = round(pos_build, 2)
+        out["positions_build_overhead"] = round(pos_build / build_sec, 2)
+        pidx = FTSIndex(spark, pos_dir)
+        docs_head = (spark.read.parquet(transcripts_path)
+                     .orderBy("conv_id", "turn_idx").limit(12).collect())
+        phrases = []
+        for r in docs_head:
+            w = (r["text"] or "").split()
+            if len(w) >= 4:
+                phrases.append(" ".join(w[:2]))
+                phrases.append(" ".join(w[1:4]))
+        phrases = phrases[:8]
+        if phrases:
+            pidx.search_phrase(phrases[0], k=10).collect()   # warm
+            lat = []
+            for ph in phrases:
+                warm = None
+                for _attempt in range(2):      # 2nd run = warm latency
+                    t0 = time.time()
+                    pidx.search_phrase(ph, k=10).collect()
+                    warm = time.time() - t0
+                lat.append(warm)
+            out["p50_phrase_sec"] = round(statistics.median(lat), 3)
+        pidx.close()
     spark.stop()
     with open(out_path, "w") as f:
         json.dump(out, f)
@@ -409,6 +447,10 @@ def main() -> None:
         engine[f"local[{ENGINE_CPUS}]"].get("p50_pruned_sec")
     queries["engine_search_many_speedup"] = \
         engine[f"local[{ENGINE_CPUS}]"].get("search_many_speedup")
+    queries["engine_build_positions_sec"] = \
+        engine[f"local[{ENGINE_CPUS}]"].get("build_positions_sec")
+    queries["engine_query_p50_phrase"] = \
+        engine[f"local[{ENGINE_CPUS}]"].get("p50_phrase_sec")
 
     if BIG_CONVS:
         # large-corpus leg: the pruned/exhaustive crossover size

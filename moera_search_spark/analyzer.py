@@ -198,6 +198,104 @@ class _BilingualStemmers:
         self.ru = RussianMemoStemmer()
 
 
+def _positions_en(text: str, stemmer) -> list[tuple[str, int]]:
+    """(term, position) pairs for the english chain.  Position = index
+    in the raw StandardTokenizer stream, BEFORE the stop filter — the
+    Lucene ``enablePositionIncrements=true`` contract: removing a
+    stopword leaves a gap, so a phrase spanning it only matches with
+    the same gap on the query side (an exact phrase stays exact)."""
+    memo = stemmer.raw
+    out: list[tuple[str, int]] = []
+    for i, raw in enumerate(_TOKEN_RE.findall(text)):
+        t = memo.get(raw)
+        if t is None:
+            tok = raw.lower()
+            if tok.endswith(("'s", "’s")):
+                tok = tok[:-2]
+            t = "" if (not tok or tok in ENGLISH_STOPWORDS) \
+                else stemmer(tok)
+            memo[raw] = t
+        if t:
+            out.append((t, i))
+    return out
+
+
+def _positions_ru(text: str, stemmer: RussianMemoStemmer,
+                  ) -> list[tuple[str, int]]:
+    """(term, position) pairs for the russian chain (same raw-stream
+    position contract as ``_positions_en``)."""
+    memo = stemmer.raw
+    out: list[tuple[str, int]] = []
+    for i, raw in enumerate(_TOKEN_RE.findall(text)):
+        t = memo.get(raw)
+        if t is None:
+            tok = raw.lower().replace("ё", "е")
+            t = "" if (not tok or tok in RUSSIAN_STOPWORDS) \
+                else stemmer(tok)
+            memo[raw] = t
+        if t:
+            out.append((t, i))
+    return out
+
+
+def analyze_positions(text: str | None, mode: str = "english",
+                      _stemmer=None) -> list[tuple[str, int]]:
+    """Full analysis chain keeping token positions: list of
+    ``(term, position)`` in stream order.  Invariant (property-tested):
+    ``[t for t, _ in analyze_positions(x)] == analyze(x)`` for every
+    mode.  Positions index the RAW token stream (pre-stop-filter), so
+    stopword removal leaves position gaps — Lucene's
+    ``enablePositionIncrements`` semantics, which exact-phrase
+    matching depends on.  In ``simple`` mode nothing is ever dropped,
+    so positions are contiguous (0, 1, 2, …) — the property the
+    SQL-expressible phrase oracle relies on.  In ``bilingual`` mode
+    both twin streams share the raw positions (the namespaced terms of
+    one underlying token occupy the same slot)."""
+    if text is None:
+        return []
+    if mode == "simple":
+        toks = [t for t in _SIMPLE_SPLIT_RE.split(text.lower()) if t]
+        return list(zip(toks, range(len(toks))))
+    if mode == "russian":
+        stemmer = _stemmer if _stemmer is not None else RussianMemoStemmer()
+        return _positions_ru(text, stemmer)
+    if mode == "bilingual":
+        st = _stemmer if _stemmer is not None else _BilingualStemmers()
+        return ([(f"en>{t}", i) for t, i in _positions_en(text, st.en)]
+                + [(f"ru>{t}", i) for t, i in _positions_ru(text, st.ru)])
+    if mode != "english":
+        raise ValueError(f"unknown analyzer mode: {mode}")
+    stemmer = _stemmer if _stemmer is not None else MemoStemmer()
+    return _positions_en(text, stemmer)
+
+
+def analyze_query_positions(text: str | None,
+                            mode: str = "english",
+                            ) -> list[tuple[str, int]]:
+    """Query-side positional analysis for phrase queries — routes a
+    bilingual query to ONE language twin (the same routing as
+    ``analyze_query``), otherwise analyzes with the index chain."""
+    if mode != "bilingual":
+        return analyze_positions(text, mode=mode)
+    lang = detect_language(text)
+    if lang == "ru":
+        return [(f"ru>{t}", i) for t, i in
+                analyze_positions(text, mode="russian")]
+    return [(f"en>{t}", i) for t, i in
+            analyze_positions(text, mode="english")]
+
+
+def doc_term_positions(text: str | None, mode: str = "english",
+                       _stemmer=None) -> dict[str, list[int]]:
+    """Per-document term → ascending position list, keys in first-
+    occurrence order — the positional twin of ``doc_terms_tf``
+    (``len(v)`` is exactly that term's tf; ``sum(len(v))`` is dl)."""
+    out: dict[str, list[int]] = {}
+    for term, pos in analyze_positions(text, mode=mode, _stemmer=_stemmer):
+        out.setdefault(term, []).append(pos)
+    return out
+
+
 def analyze_query(text: str | None, mode: str = "english") -> list[str]:
     """Query-side analysis.  In ``bilingual`` mode this is the
     reference's language routing: detect the query language, analyze

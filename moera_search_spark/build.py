@@ -76,7 +76,7 @@ from typing import Iterator
 import pandas as pd
 
 from . import manifest as mf
-from .analyzer import doc_terms_tf, make_stemmer
+from .analyzer import doc_term_positions, doc_terms_tf, make_stemmer
 from .postings import BLOCK_SIZE, CHUNK_SIZE, K1, B
 
 STAGING_SCHEMA_DDL = (
@@ -89,6 +89,19 @@ STAGING_SCHEMA_DDL = (
 POSTINGS_SCHEMA_DDL = (
     "term string, term_bucket int, first_doc_id long, last_doc_id long, "
     "n_docs int, deltas binary, tfs binary, dls binary, max_tfnorm double"
+)
+
+# Positional postings (built only when build_index(positions=True)):
+# the staging runs carry one extra varbyte blob per run — per-doc
+# within-doc position deltas, concatenated in doc order.  ``tfs``
+# doubles as the per-doc position COUNTS (tf is by definition the
+# number of occurrences), so positions cost exactly one new column.
+# The table keeps the run granularity (term, chunk, bucket) — phrase
+# queries re-rank candidates from scratch, so the canonical block
+# re-encode (block-max bounds, fixed block size) buys nothing here.
+POSITIONS_SCHEMA_DDL = (
+    "term string, term_bucket int, first_doc_id long, last_doc_id long, "
+    "n_docs int, deltas binary, tfs binary, dls binary, pdeltas binary"
 )
 
 N_TERM_BUCKETS = 16
@@ -281,9 +294,12 @@ _STAGING_COLS = ["bucket", "doc_id", "row_type", "conv_id", "turn_idx",
                  "first_doc_id", "last_doc_id", "deltas", "tfs", "dls"]
 
 
-def _staging_pad(pdf: pd.DataFrame) -> pd.DataFrame:
+def _staging_pad(pdf: pd.DataFrame,
+                 positions: bool = False) -> pd.DataFrame:
     """Fill the staging columns a row type doesn't carry with typed
-    nulls and order columns to ``_STAGING_COLS``."""
+    nulls and order columns to ``_STAGING_COLS`` (+ ``pdeltas`` when
+    the build stages positions — the default layout is unchanged so
+    positions-less builds stay byte-identical across versions)."""
     n = len(pdf)
     defaults = {
         "bucket": 0, "doc_id": pd.array([None] * n, dtype="Int64"),
@@ -296,13 +312,18 @@ def _staging_pad(pdf: pd.DataFrame) -> pd.DataFrame:
         "last_doc_id": pd.array([None] * n, dtype="Int64"),
         "deltas": None, "tfs": None, "dls": None,
     }
+    cols = _STAGING_COLS
+    if positions:
+        defaults["pdeltas"] = None
+        cols = _STAGING_COLS + ["pdeltas"]
     for c, v in defaults.items():
         if c not in pdf.columns:
             pdf[c] = v
-    return pdf[_STAGING_COLS]
+    return pdf[cols]
 
 
-def _staging_iter(mode: str, offsets, chunk_size: int):
+def _staging_iter(mode: str, offsets, chunk_size: int,
+                  positions: bool = False):
     """mapInPandas body for the per-bucket staging pass.
 
     Input is hash-partitioned by shard and sorted within partitions by
@@ -319,6 +340,12 @@ def _staging_iter(mode: str, offsets, chunk_size: int):
     groups are exactly the canonical (term, chunk) block groups).
     Token rows therefore cross the Arrow boundary once, here; the
     shuffle downstream moves only compressed runs.
+
+    With ``positions=True`` each run row also carries ``pdeltas`` —
+    per-doc within-doc position deltas (varbyte, concatenated in doc
+    order; per-doc counts are the ``tfs`` values) — computed in the
+    SAME tokenize pass, so positional indexing adds no extra scan and
+    no extra shuffle rows, only bytes on the existing run rows.
     """
 
     def fn(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -342,9 +369,10 @@ def _staging_iter(mode: str, offsets, chunk_size: int):
         acc_docs: list = []    # int64 arrays (global doc_ids, repeated)
         acc_tfs: list = []
         acc_dls: list = []
+        acc_pblobs: list = []  # per-(doc, term)-row position blobs
 
         def flush() -> pd.DataFrame | None:
-            nonlocal acc_terms, acc_docs, acc_tfs, acc_dls
+            nonlocal acc_terms, acc_docs, acc_tfs, acc_dls, acc_pblobs
             if not acc_docs:
                 return None
             terms_f = np.array(list(chain.from_iterable(acc_terms)),
@@ -352,7 +380,10 @@ def _staging_iter(mode: str, offsets, chunk_size: int):
             doc_f = np.concatenate(acc_docs)
             tf_f = np.concatenate(acc_tfs)
             dl_f = np.concatenate(acc_dls)
-            acc_terms, acc_docs, acc_tfs, acc_dls = [], [], [], []
+            pb_f = (np.concatenate(acc_pblobs)
+                    if positions and acc_pblobs else None)
+            acc_terms, acc_docs, acc_tfs, acc_dls, acc_pblobs = \
+                [], [], [], [], []
             if doc_f.shape[0] == 0:
                 # every doc in the segment tokenized to zero terms (the
                 # accumulator LIST was non-empty but each appended slice
@@ -383,7 +414,7 @@ def _staging_iter(mode: str, offsets, chunk_size: int):
             gaps[0] = 0
             np.subtract(d[1:], d[:-1], out=gaps[1:])
             gaps[starts] = 0
-            runs = pd.DataFrame({
+            cols = {
                 "bucket": np.int32(open_bucket),
                 "row_type": "run",
                 "term": np.asarray(uniques, dtype=object)[c[starts]],
@@ -394,8 +425,17 @@ def _staging_iter(mode: str, offsets, chunk_size: int):
                 "deltas": vb_encode_many(gaps, cnts),
                 "tfs": vb_encode_many(t, cnts),
                 "dls": vb_encode_many(dl_s, cnts),
-            })
-            return _staging_pad(runs)
+            }
+            if positions:
+                # per-row blobs, reordered with the postings rows, then
+                # concatenated per run (docs ascend within a run, so
+                # the blob stream is in doc order by construction)
+                pb = pb_f[order]
+                cols["pdeltas"] = [
+                    b"".join(pb[s:s + cn])
+                    for s, cn in zip(starts, cnts)]
+            runs = pd.DataFrame(cols)
+            return _staging_pad(runs, positions)
 
         for pdf in pdf_iter:
             n = len(pdf)
@@ -403,15 +443,46 @@ def _staging_iter(mode: str, offsets, chunk_size: int):
                 continue
             buckets = pdf["bucket"].values.astype(np.int64)
             texts = pdf["text"].values
-            counts_list = [
-                doc_terms_tf(t if isinstance(t, str) else None,
-                             mode=mode, _stemmer=stemmer)
-                for t in texts
-            ]
-            n_terms = np.fromiter((len(c) for c in counts_list),
-                                  np.int64, count=n)
-            dl_arr = np.fromiter((sum(c.values()) for c in counts_list),
-                                 np.int64, count=n)
+            if positions:
+                counts_list = [
+                    doc_term_positions(t if isinstance(t, str) else None,
+                                       mode=mode, _stemmer=stemmer)
+                    for t in texts
+                ]
+                n_terms = np.fromiter((len(c) for c in counts_list),
+                                      np.int64, count=n)
+                dl_arr = np.fromiter(
+                    (sum(len(v) for v in c.values())
+                     for c in counts_list), np.int64, count=n)
+                # one blob per (doc, term) row: within-doc position
+                # deltas (first absolute), varbyte — all rows of the
+                # batch encoded in one vectorized pass
+                row_counts = np.fromiter(
+                    (len(v) for c in counts_list for v in c.values()),
+                    np.int64, count=int(n_terms.sum()))
+                total_pos = int(row_counts.sum())
+                flat = np.fromiter(
+                    (p for c in counts_list for v in c.values()
+                     for p in v), np.int64, count=total_pos)
+                pdelta = np.empty_like(flat)
+                if total_pos:
+                    pdelta[1:] = flat[1:] - flat[:-1]
+                    row_starts = np.concatenate(
+                        ([0], np.cumsum(row_counts)[:-1]))
+                    pdelta[row_starts] = flat[row_starts]
+                blobs_batch = np.array(
+                    vb_encode_many(pdelta, row_counts), dtype=object)
+                row_offs = np.concatenate(([0], np.cumsum(n_terms)))
+            else:
+                counts_list = [
+                    doc_terms_tf(t if isinstance(t, str) else None,
+                                 mode=mode, _stemmer=stemmer)
+                    for t in texts
+                ]
+                n_terms = np.fromiter((len(c) for c in counts_list),
+                                      np.int64, count=n)
+                dl_arr = np.fromiter((sum(c.values()) for c in counts_list),
+                                     np.int64, count=n)
             # per-bucket doc numbering: input is sorted by bucket, so
             # buckets form contiguous segments; counters persist across
             # Arrow batches (a bucket may span batches, never tasks)
@@ -446,9 +517,18 @@ def _staging_iter(mode: str, offsets, chunk_size: int):
                 seg_n = n_terms[s:e]
                 acc_terms.append(list(chain.from_iterable(seg_counts)))
                 acc_docs.append(np.repeat(doc_id[s:e], seg_n))
-                acc_tfs.append(np.fromiter(
-                    chain.from_iterable(c.values() for c in seg_counts),
-                    np.int64, count=int(seg_n.sum())))
+                if positions:
+                    acc_tfs.append(np.fromiter(
+                        (len(v) for c in seg_counts
+                         for v in c.values()),
+                        np.int64, count=int(seg_n.sum())))
+                    acc_pblobs.append(
+                        blobs_batch[row_offs[s]:row_offs[e]])
+                else:
+                    acc_tfs.append(np.fromiter(
+                        chain.from_iterable(
+                            c.values() for c in seg_counts),
+                        np.int64, count=int(seg_n.sum())))
                 acc_dls.append(np.repeat(dl_arr[s:e], seg_n))
             docs = pd.DataFrame({
                 "bucket": buckets, "doc_id": doc_id,
@@ -459,7 +539,7 @@ def _staging_iter(mode: str, offsets, chunk_size: int):
                 "ts": pdf["ts"].values, "text": texts,
                 "dl": pd.array(dl_arr, dtype="Int32"),
             })
-            yield _staging_pad(docs)
+            yield _staging_pad(docs, positions)
         out = flush()
         if out is not None:
             yield out
@@ -478,7 +558,7 @@ def _staging_iter(mode: str, offsets, chunk_size: int):
                     {"docs": counters[b], "tf_rows": post_counts.get(b, 0),
                      "dl_sum": dl_sums[b]}) for b in counters],
             })
-            yield _staging_pad(stat)
+            yield _staging_pad(stat, positions)
 
     return fn
 
@@ -580,6 +660,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                 shuffle_partitions: int | None = None,
                 n_term_buckets: int = N_TERM_BUCKETS,
                 doc_id_offset: int = 0,
+                positions: bool = False,
                 allow_empty: bool = False,
                 fail_after_groups: int | None = None) -> dict:
     """Build (or resume) the full index at ``index_dir``.
@@ -593,6 +674,15 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     ``fail_after_groups`` aborts after N staging bucket-groups — used
     by resume tests to simulate a mid-build crash (the analogue of
     killing a TimelineScanJob between checkpoints).
+
+    ``positions=True`` additionally writes the ``positions`` table —
+    per-(term, chunk, bucket) runs carrying per-doc within-doc token
+    positions (see POSITIONS_SCHEMA_DDL) — enabling exact
+    ``FTSIndex.search_phrase``.  Positions are computed in the same
+    staging tokenize pass and add no extra scan or shuffle rows; a
+    positions-less build stays byte-identical to previous versions.
+    The flag is pinned in the build config: resumes, delta segments
+    and compact() all inherit it.
 
     ``allow_empty`` permits a corpus whose documents ALL tokenize to
     zero terms: docs/stats still get written (the docs stay
@@ -656,6 +746,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                   "b": b, "block_size": block_size, "chunk_size": chunk_size,
                   "n_term_buckets": n_term_buckets,
                   "doc_id_offset": doc_id_offset,
+                  "positions": bool(positions),
                   "pc_granularity": max(64, chunk_size // 32),
                   "boundaries": boundaries, "bucket_counts": counts,
                   "bucket_stats": {}}
@@ -663,6 +754,7 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     boundaries = config["boundaries"]
     n_buckets = config["n_buckets"]
     mode, k1, b = config["mode"], config["k1"], config["b"]
+    positions = bool(config.get("positions", False))
     block_size, chunk_size = config["block_size"], config["chunk_size"]
     n_term_buckets = config.get("n_term_buckets", N_TERM_BUCKETS)
     doc_id_offset = int(config.get("doc_id_offset", 0))
@@ -727,9 +819,11 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         # regardless of bucket count or build parallelism
         sub = (sub.repartition(n_parts, "shard")
                .sortWithinPartitions("bucket", "conv_id", "turn_idx"))
+        staging_ddl = STAGING_SCHEMA_DDL + (
+            ", pdeltas binary" if positions else "")
         staged = sub.mapInPandas(
-            _staging_iter(mode, offsets, chunk_size),
-            STAGING_SCHEMA_DDL).withColumn("shard", shard_col)
+            _staging_iter(mode, offsets, chunk_size, positions),
+            staging_ddl).withColumn("shard", shard_col)
         # Partitioned by (shard, row_type): later stages read doc / tf
         # rows via directory pruning on row_type, per-bucket reads
         # prune shard dirs then push the bucket predicate into the
@@ -949,6 +1043,42 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         mf.record_metrics(index_dir, run_id, "pc_bounds",
                           [(-1, "seconds", time.time() - t0)])
 
+    def _job_positions():
+        # Positional postings: the staged runs ARE the table — one
+        # cheap exchange onto the deterministic (term_bucket,
+        # term-hash split) layout, no decode/re-encode (phrase
+        # queries re-rank candidates from scratch, so canonical
+        # block-max blocks buy nothing here).  Runs of one term have
+        # disjoint doc ranges (buckets and chunks partition the
+        # doc_id space), so the (term, first_doc_id) in-partition
+        # sort makes the written bytes parallelism-invariant exactly
+        # like the postings table.
+        t0 = time.time()
+        pos_runs = run_rows.select(
+            "term", "first_doc_id", "last_doc_id", "n_docs",
+            "deltas", "tfs", "dls", "pdeltas").withColumn(
+                "term_bucket", term_bucket_expr(n_term_buckets))
+        split = F.abs(F.hash("term")) % POSTINGS_FILES_PER_BUCKET
+        (pos_runs
+         .withColumn("_split", split)
+         .repartition(n_term_buckets * POSTINGS_FILES_PER_BUCKET,
+                      "term_bucket", "_split")
+         .drop("_split")
+         .sortWithinPartitions("term", "first_doc_id")
+         .write.mode("overwrite").partitionBy("term_bucket")
+         .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
+         .parquet(os.path.join(index_dir, "positions")))
+        mf.record_metrics(index_dir, run_id, "positions",
+                          [(-1, "seconds", time.time() - t0)])
+
+    def _job_positions_empty():
+        # standalone zero-term corpus: schema-only flat empty table so
+        # the index still opens (mirrors _job_postings_empty)
+        if doc_id_offset == 0:
+            spark.createDataFrame([], POSITIONS_SCHEMA_DDL) \
+                .write.mode("overwrite") \
+                .parquet(os.path.join(index_dir, "positions"))
+
     def _job_postings_with_sidecar():
         # the sidecar chains onto the postings thread so it overlaps
         # with the docs/stats jobs instead of running as a lone
@@ -980,10 +1110,13 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
                 .parquet(os.path.join(index_dir, "pc_bounds"))
         mf.mark(index_dir, "pc_bounds", [-1], "done")
 
-    jobs = [(stage, fn) for stage, fn in
-            (("stats", _job_stats), ("docs", _job_docs),
-             ("postings", _job_postings_with_sidecar if total_tf
-              else _job_postings_empty))
+    job_list = [("stats", _job_stats), ("docs", _job_docs),
+                ("postings", _job_postings_with_sidecar if total_tf
+                 else _job_postings_empty)]
+    if positions:
+        job_list.append(("positions", _job_positions if total_tf
+                         else _job_positions_empty))
+    jobs = [(stage, fn) for stage, fn in job_list
             if -1 not in mf.done_partitions(index_dir, stage)]
     if jobs:
         from concurrent.futures import ThreadPoolExecutor

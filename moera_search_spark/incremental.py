@@ -91,7 +91,10 @@ def _tombstones_df(spark, index_dir: str):
 # pc_bounds rides along: a delta segment's per-(term, pc) bound rows
 # land in the same sidecar dirs, and the query-side driver read takes
 # the max across segment rows — bounds stay admissible over deltas.
-SEG_SUBDIRS = ("docs", "term_stats", "postings", "pc_bounds")
+SEG_SUBDIRS = ("docs", "term_stats", "postings", "pc_bounds",
+               "positions")   # positions dir exists only for
+                              # positional indexes; the adopt/
+                              # cleanup walks skip missing dirs
 
 
 def _adopt_segment_files(seg_dir: str, index_dir: str, batch_id: str,
@@ -275,6 +278,9 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
             chunk_size=config["chunk_size"],
             n_term_buckets=config.get("n_term_buckets", 16),
             doc_id_offset=next_id,
+            # positional base index ⇒ positional segments (phrase
+            # queries must see upserted docs too)
+            positions=bool(config.get("positions", False)),
             # a batch whose changed docs ALL tokenize to zero terms
             # (text blanked to whitespace/stopwords) is legitimate
             # here: tombstones are already adopted above, so the
@@ -349,6 +355,7 @@ def compact(spark, index_dir: str, *,
         k1=config["k1"], b=config["b"], block_size=config["block_size"],
         chunk_size=config["chunk_size"],
         n_term_buckets=config.get("n_term_buckets", 16),
+        positions=bool(config.get("positions", False)),
         # the live corpus can be legitimately term-less (apply_updates
         # permits blanking every doc's text); the rebuild then writes
         # schema-only empty postings/pc_bounds (standalone allow_empty

@@ -518,6 +518,111 @@ def _lang_routed_sql():
 FTS_BM25_LANG_ROUTED_SQL = _lang_routed_sql()
 
 
+PHRASE = ["table", "merge"]   # adjacent-bigram phrase; ~40 doc hits
+
+
+def _phrase_anchor_lam(F, phrase):
+    """Unary HOF lambda ``i -> AND_j toks[i+j] == phrase[j]`` (1-based
+    ``element_at``; factory-built — see ``_eq_lam`` on arity)."""
+    def lam(i):
+        cond = None
+        for j, t in enumerate(phrase):
+            c = F.element_at(F.col("toks"), i + j) == F.lit(t)
+            cond = c if cond is None else cond & c
+        return cond
+    return lam
+
+
+def fts_phrase_match(spark, sf_dir):
+    """Exact-phrase BM25 top-k — the ``match_phrase`` capability of
+    the engine the reference delegates search to (Lucene PhraseQuery;
+    the reference API itself stops at multi_match, Index.java:304-313).
+    Catalog twin of the engine's positional-index path
+    (``FTSIndex.search_phrase`` over the ``positions`` table,
+    query.py): tf = exact phrase frequency, idf = Σ idf over the
+    distinct phrase terms, BM25 dl normalization.
+
+    The phrase frequency is a ROW-LOCAL expression: count the anchor
+    positions ``i`` where ``toks[i..i+m-1]`` equals the phrase — a
+    filtered 1..n sequence over one materialized token array (no
+    token explode, no position self-join; ``toks`` is projected once
+    so the HOF lambda references a column, not a re-evaluated
+    expression).  Corpus stats collapse into the same single-row
+    broadcast aggregate every BM25 twin uses; the only shuffle is
+    that 1-row aggregate plus the top-k merge.  The DuckDB oracle
+    keeps the relational formulation (positions via parallel unnest,
+    adjacency self-join) so the hash match also proves the two
+    formulations equivalent."""
+    from pyspark.sql import functions as F
+
+    m = len(PHRASE)
+    terms = sorted(set(PHRASE))
+    base = (_docs(spark, sf_dir)
+            .select("doc_id", _toks_arr().alias("toks")))
+    nmax = F.size("toks") - (m - 1)
+    ptf = F.when(nmax >= 1, F.size(F.filter(
+        F.sequence(F.lit(1), nmax),
+        _phrase_anchor_lam(F, PHRASE)))).otherwise(F.lit(0))
+    per_doc = base.select(
+        "doc_id", F.size("toks").alias("dl"),
+        ptf.cast("long").alias("ptf"),
+        *[F.size(F.filter("toks", _eq_lam(F, t)))
+          .alias(f"tf_{i}") for i, t in enumerate(terms)])
+    stats = per_doc.agg(
+        F.sum((F.col("dl") > 0).cast("long")).alias("n"),
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))])
+    j = (per_doc.filter(F.col("ptf") > 0)
+         .crossJoin(F.broadcast(stats)))
+    sum_idf = None
+    for i in range(len(terms)):   # sorted-term fold, as the engine
+        c = F.log(1.0 + (F.col("n") - F.col(f"df_{i}") + 0.5)
+                  / (F.col(f"df_{i}") + 0.5))
+        sum_idf = c if sum_idf is None else sum_idf + c
+    ptf_d = F.col("ptf").cast("double")
+    score = (sum_idf * ptf_d
+             / (ptf_d + 1.2 * (1.0 - 0.75
+                               + 0.75 * F.col("dl") / F.col("avgdl"))))
+    return (j.select("doc_id", "ptf",
+                     F.round(score * 1e6).cast("long").alias("score_e6"))
+            .orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(K))
+
+
+FTS_PHRASE_MATCH_SQL = f"""
+    WITH tokarr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    pos AS (SELECT doc_id, unnest(l) AS term,
+                   unnest(range(1, len(l) + 1)) AS pos
+            FROM tokarr),
+    dl AS (SELECT doc_id, len(l) AS dl FROM tokarr WHERE len(l) > 0),
+    corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos
+           WHERE term IN ({", ".join(repr(t) for t in sorted(set(PHRASE)))})
+           GROUP BY term),
+    sumidf AS (SELECT sum(ln(1 + (corpus.n - df.df + 0.5)
+                              / (df.df + 0.5))) AS sidf
+               FROM df, corpus),
+    ptf AS (SELECT t0.doc_id, count(*) AS ptf
+            FROM pos t0
+            JOIN pos t1 ON t1.doc_id = t0.doc_id
+                       AND t1.pos = t0.pos + 1
+                       AND t1.term = {PHRASE[1]!r}
+            WHERE t0.term = {PHRASE[0]!r}
+            GROUP BY t0.doc_id)
+    SELECT ptf.doc_id, ptf.ptf,
+           CAST(round(sidf * ptf.ptf
+                      / (ptf.ptf + 1.2 * (1 - 0.75
+                                          + 0.75 * dl.dl / corpus.avgdl))
+                      * 1e6) AS BIGINT) AS score_e6
+    FROM ptf JOIN dl USING (doc_id), corpus, sumidf
+    ORDER BY score_e6 DESC, ptf.doc_id LIMIT {K}
+"""
+
+
 QUERIES = {
     "fts_corpus_stats": (fts_corpus_stats, FTS_CORPUS_STATS_SQL),
     "fts_by_hashtag_keyset": (fts_by_hashtag_keyset,
@@ -531,4 +636,5 @@ QUERIES = {
                              FTS_BM25_LANG_ROUTED_SQL),
     "fts_conjunctive_and": (fts_conjunctive_and, FTS_CONJUNCTIVE_AND_SQL),
     "fts_prefix_and": (fts_prefix_and, FTS_PREFIX_AND_SQL),
+    "fts_phrase_match": (fts_phrase_match, FTS_PHRASE_MATCH_SQL),
 }

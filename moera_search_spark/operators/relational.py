@@ -593,8 +593,11 @@ QUERIES = {
     # tests/test_round4_fixes.py.
     "filter_regex_permutations":
         (filter_regex_permutations, FILTER_REGEX_PERMUTATIONS_SQL),
-    "filter_visibility_default":
-        (filter_visibility_default, FILTER_VISIBILITY_DEFAULT_SQL),
+    # filter_visibility_default was swapped out of the 50-entry driver
+    # window for fts_phrase_match (round 4): its coalesce-default
+    # predicate shape is fully covered by filter_in_case_coalesce +
+    # filter_term_range_exists; it stays DuckDB-parity-tested in
+    # tests/test_round4_fixes.py.
     "join_entry_source_owner":
         (join_entry_source_owner, JOIN_ENTRY_SOURCE_OWNER_SQL),
     "join_semi_has_open_order":

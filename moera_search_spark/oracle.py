@@ -26,7 +26,8 @@ from collections import Counter
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-from .analyzer import analyze, analyze_query, make_stemmer
+from .analyzer import (analyze, analyze_positions, analyze_query,
+                       analyze_query_positions, make_stemmer)
 
 K1 = 1.2
 B = 0.75
@@ -49,6 +50,8 @@ class OracleIndex:
     k1: float = K1
     b: float = B
     postings: dict[str, dict[int, int]] = field(default_factory=dict)
+    positions: dict[str, dict[int, list[int]]] = field(
+        default_factory=dict)
     doc_len: dict[int, int] = field(default_factory=dict)
     attrs: dict[int, dict[str, Any]] = field(default_factory=dict)
 
@@ -65,11 +68,15 @@ class OracleIndex:
     def add(self, doc_id: int, text: str | None,
             attrs: dict[str, Any] | None = None) -> None:
         stemmer = make_stemmer(self.mode)
-        counts = Counter(analyze(text, mode=self.mode, _stemmer=stemmer))
-        self.doc_len[doc_id] = sum(counts.values())
+        pairs = analyze_positions(text, mode=self.mode, _stemmer=stemmer)
+        counts = Counter(t for t, _ in pairs)
+        self.doc_len[doc_id] = len(pairs)
         self.attrs[doc_id] = attrs or {}
         for term, tf in counts.items():
             self.postings.setdefault(term, {})[doc_id] = tf
+        for term, pos in pairs:
+            self.positions.setdefault(term, {}).setdefault(
+                doc_id, []).append(pos)
 
     def df(self, term: str) -> int:
         return len(self.postings.get(term, {}))
@@ -104,6 +111,46 @@ class OracleIndex:
             (doc_id, s) for doc_id, s in scores.items()
             if predicate is None or predicate(self.attrs[doc_id])
         ]
+        items.sort(key=lambda x: (-x[1], x[0]))
+        return items[:k]
+
+    def search_phrase(self, query_text: str, k: int = 10,
+                      predicate: Callable[[dict[str, Any]], bool]
+                      | None = None) -> list[tuple[int, float]]:
+        """Exact-phrase BM25 top-k — the Lucene PhraseQuery contract:
+        the analyzed phrase keeps raw-stream positions (stopword gaps
+        preserved), a document matches where every slot's term occurs
+        at the slot's relative offset, tf = the exact number of such
+        anchor positions, idf = Σ idf over the DISTINCT phrase terms
+        (sorted-term summation, mirrored bit-for-bit by the engine)."""
+        slots = analyze_query_positions(query_text, mode=self.mode)
+        if not slots or not self.doc_len:
+            return []
+        terms = sorted({t for t, _ in slots})
+        if any(not self.positions.get(t) for t in terms):
+            return []
+        sum_idf = 0.0
+        for t in terms:
+            sum_idf += bm25_idf(self.n_docs, self.df(t))
+        cand = set(self.positions[terms[0]])
+        for t in terms[1:]:
+            cand &= set(self.positions[t])
+        items: list[tuple[int, float]] = []
+        for doc_id in cand:
+            if predicate is not None and not predicate(
+                    self.attrs[doc_id]):
+                continue
+            t0, q0 = slots[0]
+            anchors = {p - q0 for p in self.positions[t0][doc_id]}
+            for t, q in slots[1:]:
+                anchors &= {p - q for p in self.positions[t][doc_id]}
+                if not anchors:
+                    break
+            ptf = len(anchors)
+            if ptf:
+                items.append((doc_id, sum_idf * bm25_tfnorm(
+                    ptf, self.doc_len[doc_id], self.avgdl,
+                    self.k1, self.b)))
         items.sort(key=lambda x: (-x[1], x[0]))
         return items[:k]
 

@@ -49,6 +49,126 @@ from .oracle import bm25_idf
 
 DECODED_SCHEMA = "term string, doc_id long, contrib double"
 
+PHRASE_SCHEMA = "doc_id long, score double"
+
+
+def _phrase_match_iter(slots: list[tuple[str, int]], sum_idf: float,
+                       avgdl: float, k1: float, b: float):
+    """mapInPandas body for exact-phrase matching over positional runs.
+
+    Input: ``positions``-table rows repartitioned by chunk and sorted
+    ``(chunk, term, first_doc_id)`` within partitions; a chunk's rows
+    may span Arrow batches, so the worker buffers the open chunk
+    (runs never span chunks, so a chunk is a complete matching unit).
+
+    Per chunk: decode doc gaps / tfs / position deltas vectorized,
+    intersect candidate docs across the distinct phrase terms, then
+    intersect POSITION KEYS — slot ``i`` (term t_i at query position
+    q_i) contributes keys ``(local_doc << 33) | (pos − q_i + Q)``; an
+    exact phrase occurrence is one key present in EVERY slot's set, so
+    the per-doc count of the final intersection is the exact phrase
+    frequency (repeated terms and stopword position gaps are handled
+    by construction — each slot is an independent constraint).
+
+    Scoring is Lucene's PhraseQuery contract: BM25 with
+    tf = phrase frequency and idf = Σ idf(t) over the distinct terms
+    (summed in sorted-term order, matching the oracle bit-for-bit).
+    """
+    from .postings import vb_decode
+
+    qmax = max(q for _, q in slots)
+    terms = sorted({t for t, _ in slots})
+
+    def fn(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[pd.DataFrame] = []
+        open_chunk = -1
+
+        def flush() -> pd.DataFrame | None:
+            if not buf:
+                return None
+            pdf = pd.concat(buf) if len(buf) > 1 else buf[0]
+            per_term: dict[str, tuple] = {}
+            for t, grp in pdf.groupby("term", sort=False):
+                docs_l, tfs_l, pos_l = [], [], []
+                for first, dblob, tblob, pblob in zip(
+                        grp["first_doc_id"].values,
+                        grp["deltas"].values, grp["tfs"].values,
+                        grp["pdeltas"].values):
+                    # first gap is 0 relative to first_doc_id
+                    docs_l.append(np.cumsum(vb_decode(dblob)) + first)
+                    tfs_l.append(vb_decode(tblob))
+                    pos_l.append(vb_decode(pblob))
+                # runs of one term have disjoint ascending doc ranges
+                # and arrive sorted by first_doc_id → concatenation is
+                # globally doc-ascending
+                d = np.concatenate(docs_l)
+                tf = np.concatenate(tfs_l)
+                pflat = np.concatenate(pos_l)
+                dl = np.concatenate([vb_decode(x)
+                                     for x in grp["dls"].values]) \
+                    if t == terms[0] else None
+                per_term[t] = (d, tf, pflat, dl)
+            if any(t not in per_term for t in terms):
+                return None
+            cand = per_term[terms[0]][0]
+            for t in terms[1:]:
+                cand = np.intersect1d(cand, per_term[t][0],
+                                      assume_unique=True)
+            if cand.size == 0:
+                return None
+            base = int(cand[0])
+            keys = None
+            for t, q in slots:
+                d, tf, pflat, _ = per_term[t]
+                # absolute positions: segmented cumsum of the per-doc
+                # delta stream (first delta of a doc is absolute)
+                offs = np.concatenate(([0], np.cumsum(tf)))
+                cs = np.cumsum(pflat)
+                seg_base = cs[offs[:-1]] - pflat[offs[:-1]]
+                abs_pos = cs - np.repeat(seg_base, tf)
+                sel = np.searchsorted(d, cand)
+                mask = np.zeros(d.size, dtype=bool)
+                mask[sel] = True
+                row_mask = np.repeat(mask, tf)
+                dd = np.repeat(d, tf)[row_mask]
+                pp = abs_pos[row_mask]
+                kk = ((dd - base) << 33) + (pp - q + qmax)
+                keys = kk if keys is None else \
+                    np.intersect1d(keys, kk, assume_unique=True)
+                if keys.size == 0:
+                    return None
+            hit_docs, ptf = np.unique((keys >> 33) + base,
+                                      return_counts=True)
+            d0, _, _, dl0 = per_term[terms[0]]
+            dls = dl0[np.searchsorted(d0, hit_docs)]
+            norm = ptf / (ptf + k1 * (1.0 - b + b * dls / avgdl))
+            return pd.DataFrame(
+                {"doc_id": hit_docs.astype("int64"),
+                 "score": sum_idf * norm})
+
+        for pdf in pdf_iter:
+            n = len(pdf)
+            if n == 0:
+                continue
+            chunks = pdf["chunk"].values
+            bnd = np.flatnonzero(np.concatenate(
+                ([True], chunks[1:] != chunks[:-1])))
+            ends = np.append(bnd[1:], n)
+            for s, e in zip(bnd, ends):
+                ch = int(chunks[s])
+                if ch != open_chunk:
+                    out = flush()
+                    buf.clear()
+                    if out is not None:
+                        yield out
+                    open_chunk = ch
+                buf.append(pdf.iloc[s:e])
+        out = flush()
+        if out is not None:
+            yield out
+
+    return fn
+
 
 def _decode_score_iter(idf: dict[str, float], avgdl: float, k1: float,
                        b: float):
@@ -109,6 +229,7 @@ class FTSIndex:
             self.avgdl = float(corpus["avgdl"])
         self._docs_df = None
         self._postings_df = None
+        self._positions_df = None
         self._tomb_df: object = False   # False = not yet resolved
         # Point-query path: AQE's shuffle-stage materialize-and-replan
         # round trips cost ~200 ms per query on this path's small,
@@ -165,6 +286,15 @@ class FTSIndex:
     def term_stats(self):
         return self.spark.read.parquet(
             os.path.join(self.index_dir, "term_stats"))
+
+    @property
+    def positions(self):
+        """Positional postings (present only when the index was built
+        with ``positions=True``)."""
+        if self._positions_df is None:
+            self._positions_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "positions"))
+        return self._positions_df
 
     @property
     def tombstones(self):
@@ -343,6 +473,95 @@ class FTSIndex:
         if hydrate:
             # broadcast the k winners into the docs table (the analogue
             # of fetch-ids-then-hydrate, EntryRepository.findDocuments)
+            result = (self.docs.join(F.broadcast(result), "doc_id")
+                      .orderBy(F.desc("score"), F.asc("doc_id")))
+        return result
+
+    def search_phrase(self, query_text: str, k: int = 10,
+                      filters: dict | None = None, slop: int = 0,
+                      hydrate: bool = False, page: int = 0):
+        """Exact-phrase top-k over the positional index — the
+        ``match_phrase`` capability of the engine the reference
+        delegates text search to (OpenSearch/Lucene PhraseQuery; the
+        reference's own API stops at ``multi_match``, Index.java:304-313,
+        so this is a scale-added serving shape like ``search_many``).
+
+        Semantics are Lucene's: the phrase is analyzed with the index
+        chain keeping positions, stopword removal leaves gaps
+        (``enablePositionIncrements``) that the document must
+        reproduce exactly; the score is BM25 with tf = exact phrase
+        frequency and idf = Σ idf over the distinct phrase terms,
+        normalized by the document length.  A one-term phrase
+        degenerates to the equivalent term query (Lucene's own
+        PhraseQuery rewrite).  Filters never score, as everywhere.
+
+        Requires ``build_index(..., positions=True)``.  Only exact
+        matching (``slop=0``) is implemented: Lucene's sloppy-phrase
+        scorer weights matches by 1/(slop+1) through a multi-iterator
+        repositioning algorithm whose semantics we will not
+        approximate silently — an honest NotImplementedError beats a
+        subtly different ranking.
+        """
+        from pyspark.sql import functions as F
+
+        from .analyzer import analyze_query_positions
+        from .build import term_bucket
+
+        if slop != 0:
+            raise NotImplementedError(
+                "sloppy phrase matching (slop > 0) is not implemented; "
+                "only exact phrase (slop=0)")
+        if not bool(self.config.get("positions", False)):
+            raise ValueError(
+                "index was built without positions=True — rebuild (or "
+                "compact) with positions to enable phrase queries")
+        slots = analyze_query_positions(query_text, mode=self.mode)
+        empty = self.spark.createDataFrame([], PHRASE_SCHEMA)
+        terms = sorted({t for t, _ in slots})
+        idf = self.idf_map(terms)
+        if not slots or any(t not in idf for t in terms):
+            # phrase matching is conjunctive: any absent term ⇒ no doc
+            # can contain the phrase
+            result = empty
+        else:
+            sum_idf = 0.0
+            for t in terms:   # sorted order — matches the oracle
+                sum_idf += idf[t]
+            buckets = sorted({term_bucket(t, self.n_term_buckets)
+                              for t in terms})
+            rows = (self.positions
+                    .filter(F.col("term_bucket").isin(buckets))
+                    .filter(F.col("term").isin(terms))
+                    .withColumn("chunk",
+                                (F.col("first_doc_id") / self.chunk_size)
+                                .cast("long")))
+            # co-locate every term's runs of one doc-range chunk in one
+            # task: runs never span chunks, so a chunk is a complete,
+            # bounded matching unit (≤ chunk_size docs per term) — the
+            # phrase analogue of the (term, chunk) skew strategy: a
+            # stopword-adjacent phrase spreads over all tasks instead
+            # of melting one
+            n_parts = self.spark.sparkContext.defaultParallelism
+            scored = (rows.repartition(n_parts, "chunk")
+                      .sortWithinPartitions("chunk", "term",
+                                            "first_doc_id")
+                      .mapInPandas(
+                          _phrase_match_iter(slots, sum_idf,
+                                             self.avgdl, self.k1,
+                                             self.b),
+                          PHRASE_SCHEMA))
+            tomb = self.tombstones
+            if tomb is not None:
+                scored = scored.join(tomb, "doc_id", "left_anti")
+            pred = self._filter_pred(filters)
+            if pred is not None:
+                allowed = self.docs.filter(pred).select("doc_id")
+                scored = scored.join(allowed, "doc_id", "left_semi")
+            ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            depth = (page + 1) * k
+            result = (ranked.offset(page * k).limit(k) if page > 0
+                      else ranked.limit(depth))
+        if hydrate:
             result = (self.docs.join(F.broadcast(result), "doc_id")
                       .orderBy(F.desc("score"), F.asc("doc_id")))
         return result

@@ -65,6 +65,15 @@ class TestRetiredCatalogEntries:
         _parity(spark, duck, rank_keyset_pagination,
                 RANK_KEYSET_PAGINATION_SQL)
 
+    def test_filter_visibility_default(self, spark, duck):
+        # retired for fts_phrase_match (late round 4): its coalesce-
+        # default predicate shape is covered by filter_in_case_coalesce
+        from moera_search_spark.operators.relational import (
+            FILTER_VISIBILITY_DEFAULT_SQL, filter_visibility_default)
+
+        _parity(spark, duck, filter_visibility_default,
+                FILTER_VISIBILITY_DEFAULT_SQL)
+
 
 class TestEngineServingEntries:
     def test_search_many_vs_duckdb(self, spark, duck):

@@ -42,6 +42,9 @@ def main(argv=None) -> int:
                    help="input format: iceberg | parquet | any Spark "
                         "source (default: auto-resolve, io.py)")
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="also build the positional table (enables "
+                        "phrase queries; inherited by segments/compact)")
 
     u = sub.add_parser("update")
     u.add_argument("--changelog", required=True,
@@ -59,6 +62,9 @@ def main(argv=None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--method", default="auto",
                    choices=["auto", "exhaustive", "pruned"])
+    q.add_argument("--phrase", action="store_true",
+                   help="exact-phrase query (requires a positional "
+                        "index; --method is ignored)")
 
     args = p.parse_args(argv)
 
@@ -77,7 +83,8 @@ def main(argv=None) -> int:
             args.index_dir,
             mode=args.mode, n_buckets=args.n_buckets,
             buckets_per_job=args.buckets_per_job,
-            n_term_buckets=args.n_term_buckets, resume=args.resume)
+            n_term_buckets=args.n_term_buckets, resume=args.resume,
+            positions=args.positions)
         print(json.dumps(res))
     elif args.cmd == "update":
         from moera_search_spark.streaming import stream_updates
@@ -94,8 +101,11 @@ def main(argv=None) -> int:
         from moera_search_spark.query import FTSIndex
 
         idx = FTSIndex(spark, args.index_dir)
-        rows = idx.search(args.text, k=args.k,
-                          method=args.method).collect()
+        if args.phrase:
+            rows = idx.search_phrase(args.text, k=args.k).collect()
+        else:
+            rows = idx.search(args.text, k=args.k,
+                              method=args.method).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]}
                           for r in rows]))
     spark.stop()
