@@ -278,15 +278,20 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         pos_build = time.time() - t0
         out["build_positions_sec"] = round(pos_build, 2)
         out["positions_build_overhead"] = round(pos_build / build_sec, 2)
+        from moera_search_spark.analyzer import analyze
+
         pidx = FTSIndex(spark, pos_dir)
         docs_head = (spark.read.parquet(transcripts_path)
-                     .orderBy("conv_id", "turn_idx").limit(12).collect())
+                     .orderBy("conv_id", "turn_idx").limit(24).collect())
         phrases = []
         for r in docs_head:
             w = (r["text"] or "").split()
-            if len(w) >= 4:
-                phrases.append(" ".join(w[:2]))
-                phrases.append(" ".join(w[1:4]))
+            # only windows that analyze to ≥2 terms — an all-stopword
+            # window short-circuits to an empty DataFrame with no
+            # Spark job and would deflate the reported p50
+            for win in (" ".join(w[:2]), " ".join(w[1:4])):
+                if len(w) >= 4 and len(analyze(win)) >= 2:
+                    phrases.append(win)
         phrases = phrases[:8]
         if phrases:
             pidx.search_phrase(phrases[0], k=10).collect()   # warm

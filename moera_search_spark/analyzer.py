@@ -129,6 +129,36 @@ def detect_language(text: str | None) -> str:
     return "ru" if cyr * 2 > len(letters) else "en"
 
 
+
+def _en_term(raw: str, memo: dict, stemmer) -> str:
+    """THE english per-token chain (lowercase → possessive → stop →
+    Porter), memoized per RAW token ("" = dropped).  Single source of
+    truth shared by ``analyze`` and ``analyze_positions`` — the
+    positional index relies on tf == len(positions), so the two
+    callers must never diverge."""
+    t = memo.get(raw)
+    if t is None:
+        tok = raw.lower()
+        if tok.endswith(("'s", "’s")):  # _POSSESSIVE_RE semantics
+            tok = tok[:-2]
+        t = "" if (not tok or tok in ENGLISH_STOPWORDS) \
+            else stemmer(tok)
+        memo[raw] = t
+    return t
+
+
+def _ru_term(raw: str, memo: dict, stemmer) -> str:
+    """The russian per-token chain (lowercase+ё→е → stop → Snowball),
+    memoized per RAW token — see ``_en_term`` on why it is shared."""
+    t = memo.get(raw)
+    if t is None:
+        tok = raw.lower().replace("ё", "е")
+        t = "" if (not tok or tok in RUSSIAN_STOPWORDS) \
+            else stemmer(tok)
+        memo[raw] = t
+    return t
+
+
 def _analyze_russian(text: str, stemmer: RussianMemoStemmer) -> list[str]:
     """Lucene russian chain: tokenize → lowercase → RU stop set →
     Snowball russian stem (no possessive filter in that chain).
@@ -140,12 +170,7 @@ def _analyze_russian(text: str, stemmer: RussianMemoStemmer) -> list[str]:
     memo = stemmer.raw
     out: list[str] = []
     for raw in _TOKEN_RE.findall(text):
-        t = memo.get(raw)
-        if t is None:
-            tok = raw.lower().replace("ё", "е")
-            t = "" if (not tok or tok in RUSSIAN_STOPWORDS) \
-                else stemmer(tok)
-            memo[raw] = t
+        t = _ru_term(raw, memo, stemmer)
         if t:
             out.append(t)
     return out
@@ -177,14 +202,7 @@ def analyze(text: str | None, mode: str = "english",
     memo = stemmer.raw
     out: list[str] = []
     for raw in _TOKEN_RE.findall(text):
-        t = memo.get(raw)
-        if t is None:
-            tok = raw.lower()
-            if tok.endswith(("'s", "’s")):  # _POSSESSIVE_RE semantics
-                tok = tok[:-2]
-            t = "" if (not tok or tok in ENGLISH_STOPWORDS) \
-                else stemmer(tok)
-            memo[raw] = t
+        t = _en_term(raw, memo, stemmer)
         if t:
             out.append(t)
     return out
@@ -207,14 +225,7 @@ def _positions_en(text: str, stemmer) -> list[tuple[str, int]]:
     memo = stemmer.raw
     out: list[tuple[str, int]] = []
     for i, raw in enumerate(_TOKEN_RE.findall(text)):
-        t = memo.get(raw)
-        if t is None:
-            tok = raw.lower()
-            if tok.endswith(("'s", "’s")):
-                tok = tok[:-2]
-            t = "" if (not tok or tok in ENGLISH_STOPWORDS) \
-                else stemmer(tok)
-            memo[raw] = t
+        t = _en_term(raw, memo, stemmer)
         if t:
             out.append((t, i))
     return out
@@ -227,12 +238,7 @@ def _positions_ru(text: str, stemmer: RussianMemoStemmer,
     memo = stemmer.raw
     out: list[tuple[str, int]] = []
     for i, raw in enumerate(_TOKEN_RE.findall(text)):
-        t = memo.get(raw)
-        if t is None:
-            tok = raw.lower().replace("ё", "е")
-            t = "" if (not tok or tok in RUSSIAN_STOPWORDS) \
-                else stemmer(tok)
-            memo[raw] = t
+        t = _ru_term(raw, memo, stemmer)
         if t:
             out.append((t, i))
     return out

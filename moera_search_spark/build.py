@@ -1068,8 +1068,6 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
          .write.mode("overwrite").partitionBy("term_bucket")
          .option("parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES))
          .parquet(os.path.join(index_dir, "positions")))
-        mf.record_metrics(index_dir, run_id, "positions",
-                          [(-1, "seconds", time.time() - t0)])
 
     def _job_positions_empty():
         # standalone zero-term corpus: schema-only flat empty table so

@@ -110,6 +110,24 @@ def _adopt_segment_files(seg_dir: str, index_dir: str, batch_id: str,
     for sub in subdirs:
         src_root = os.path.join(seg_dir, sub)
         dst_root = os.path.join(index_dir, sub)
+        # A fully-blanked standalone build/compact leaves a FLAT
+        # schema-only placeholder file at the table root (so the index
+        # opens); once a segment brings real hive-partitioned files the
+        # placeholder is obsolete, and leaving it would mix root-level
+        # leaf files with term_bucket= dirs — readable on current
+        # Spark/pyarrow, but unspecified layout territory.  Drop it.
+        if os.path.isdir(dst_root) and any(
+                e.startswith(f"{sub_col}=")
+                for sub_col in ("term_bucket",)
+                for e in (os.listdir(src_root)
+                          if os.path.isdir(src_root) else [])):
+            for e in list(os.listdir(dst_root)):
+                fp = os.path.join(dst_root, e)
+                if os.path.isfile(fp) and e.endswith(".parquet")                         and not e.startswith("seg-"):
+                    os.remove(fp)
+                    crc = os.path.join(dst_root, f".{e}.crc")
+                    if os.path.isfile(crc):
+                        os.remove(crc)
         for root, dirs, files in os.walk(src_root):
             dirs.sort()
             rel = os.path.relpath(root, src_root)
@@ -327,7 +345,8 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
 
 
 def compact(spark, index_dir: str, *,
-            n_buckets: int | str = "auto") -> dict:
+            n_buckets: int | str = "auto",
+            positions: bool | None = None) -> dict:
     """Segment merge: rebuild the index from live docs only.
 
     Drops tombstones, re-densifies doc_ids under stable
@@ -337,7 +356,12 @@ def compact(spark, index_dir: str, *,
     defaults to "auto": the live corpus after heavy deletes can be far
     smaller (or, after many upsert batches, far larger) than whatever
     bucket count the original build used, so the compacted index
-    re-derives task granularity from the data (build.py knee)."""
+    re-derives task granularity from the data (build.py knee).
+
+    ``positions`` overrides the positional-index flag for the rebuilt
+    index (None = inherit the current config) — the supported way to
+    ADD phrase support to an existing index without re-ingesting the
+    source (compact already re-reads every live doc's text)."""
     t0 = time.time()
     config = mf.load_config(index_dir)
     if config is None:
@@ -355,7 +379,8 @@ def compact(spark, index_dir: str, *,
         k1=config["k1"], b=config["b"], block_size=config["block_size"],
         chunk_size=config["chunk_size"],
         n_term_buckets=config.get("n_term_buckets", 16),
-        positions=bool(config.get("positions", False)),
+        positions=bool(config.get("positions", False))
+        if positions is None else bool(positions),
         # the live corpus can be legitimately term-less (apply_updates
         # permits blanking every doc's text); the rebuild then writes
         # schema-only empty postings/pc_bounds (standalone allow_empty

@@ -589,7 +589,17 @@ def fts_phrase_match(spark, sf_dir):
             .orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(K))
 
 
-FTS_PHRASE_MATCH_SQL = f"""
+def _phrase_sql(phrase: list[str]) -> str:
+    """DuckDB oracle for any phrase length: positions via parallel
+    unnest, one adjacency self-join per extra slot (generalized so the
+    SQL can never silently disagree with the Spark twin's
+    ``m = len(PHRASE)``)."""
+    joins = "\n".join(
+        f"            JOIN pos t{j} ON t{j}.doc_id = t0.doc_id"
+        f"\n                       AND t{j}.pos = t0.pos + {j}"
+        f"\n                       AND t{j}.term = {t!r}"
+        for j, t in enumerate(phrase[1:], start=1))
+    return f"""
     WITH tokarr AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -601,17 +611,15 @@ FTS_PHRASE_MATCH_SQL = f"""
     dl AS (SELECT doc_id, len(l) AS dl FROM tokarr WHERE len(l) > 0),
     corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos
-           WHERE term IN ({", ".join(repr(t) for t in sorted(set(PHRASE)))})
+           WHERE term IN ({", ".join(repr(t) for t in sorted(set(phrase)))})
            GROUP BY term),
     sumidf AS (SELECT sum(ln(1 + (corpus.n - df.df + 0.5)
                               / (df.df + 0.5))) AS sidf
                FROM df, corpus),
     ptf AS (SELECT t0.doc_id, count(*) AS ptf
             FROM pos t0
-            JOIN pos t1 ON t1.doc_id = t0.doc_id
-                       AND t1.pos = t0.pos + 1
-                       AND t1.term = {PHRASE[1]!r}
-            WHERE t0.term = {PHRASE[0]!r}
+{joins}
+            WHERE t0.term = {phrase[0]!r}
             GROUP BY t0.doc_id)
     SELECT ptf.doc_id, ptf.ptf,
            CAST(round(sidf * ptf.ptf
@@ -621,6 +629,9 @@ FTS_PHRASE_MATCH_SQL = f"""
     FROM ptf JOIN dl USING (doc_id), corpus, sumidf
     ORDER BY score_e6 DESC, ptf.doc_id LIMIT {K}
 """
+
+
+FTS_PHRASE_MATCH_SQL = _phrase_sql(PHRASE)
 
 
 QUERIES = {

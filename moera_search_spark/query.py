@@ -513,8 +513,9 @@ class FTSIndex:
                 "only exact phrase (slop=0)")
         if not bool(self.config.get("positions", False)):
             raise ValueError(
-                "index was built without positions=True — rebuild (or "
-                "compact) with positions to enable phrase queries")
+                "index was built without positions=True — rebuild with "
+                "positions=True, or run compact(..., positions=True) "
+                "to add phrase support from the live docs")
         slots = analyze_query_positions(query_text, mode=self.mode)
         empty = self.spark.createDataFrame([], PHRASE_SCHEMA)
         terms = sorted({t for t, _ in slots})

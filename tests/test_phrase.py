@@ -303,6 +303,92 @@ class TestIncrementalPhrase:
             assert len(self._ids(idx, "wombat numbat")) == 1
 
 
+class TestPlaceholderAdoption:
+    def test_blanked_compact_then_upsert(self, spark, tmp_path):
+        """A fully-blanked corpus compacts to FLAT schema-only
+        placeholder tables (so the index opens); a later real upsert
+        adopts hive term_bucket= segment files into the same dirs.
+        Adoption must drop the obsolete placeholders — mixing root
+        leaf files with partition dirs is unspecified-layout
+        territory — and both query paths must work after."""
+        from moera_search_spark.incremental import apply_updates, compact
+
+        d = str(tmp_path / "ph")
+        build_index(spark, _mini_transcripts(
+            spark, [("c0", 0, "user", "hello world data", None)]),
+            d, n_buckets=2, positions=True)
+        apply_updates(spark, d, upserts=_mini_transcripts(
+            spark, [("c0", 0, "user", "   ", None)]), batch_id="b1")
+        compact(spark, d)
+        apply_updates(spark, d, upserts=_mini_transcripts(
+            spark, [("c1", 0, "user", "fresh data table here", None)]),
+            batch_id="b2")
+        for sub in ("postings", "positions", "pc_bounds"):
+            root_files = [f for f in os.listdir(os.path.join(d, sub))
+                          if f.endswith(".parquet")
+                          and os.path.isfile(os.path.join(d, sub, f))]
+            assert not root_files, (sub, root_files)
+        with FTSIndex(spark, d) as idx:
+            # the compacted (blanked) doc kept id 0; the upsert got 1
+            assert [r["doc_id"] for r in
+                    idx.search("data table").collect()] == [1]
+            assert [r["doc_id"] for r in
+                    idx.search_phrase("data table").collect()] == [1]
+
+    def test_compact_adds_positions(self, spark, corpus_df,
+                                    oracle_index, corpus_pdf, tmp_path):
+        """compact(positions=True) upgrades a positions-less index to
+        phrase support — the path the search_phrase error advises."""
+        from moera_search_spark.incremental import compact
+
+        d = str(tmp_path / "up")
+        build_index(spark, corpus_df, d, n_buckets=4)
+        with FTSIndex(spark, d) as idx:
+            with pytest.raises(ValueError, match="positions"):
+                idx.search_phrase("any phrase")
+        compact(spark, d, positions=True)
+        ph = _phrases_from(corpus_pdf, 1)[0]
+        with FTSIndex(spark, d) as idx:
+            assert bool(idx.config.get("positions")) is True
+            eng = [(r["doc_id"], r["score"])
+                   for r in idx.search_phrase(ph).collect()]
+        assert eng == oracle_index.search_phrase(ph, k=10)
+
+
+class TestBilingualPhrase:
+    def test_language_routed_phrase(self, spark, tmp_path):
+        """A bilingual index answers phrases in EITHER language — the
+        query routes to one twin namespace (the reference's
+        query-language field routing, LanguageAnalyzer.java:42-48),
+        and the twins share raw positions, so gaps work per chain."""
+        rows = [
+            ("c0", 0, "user", "быстрый поиск по архиву данных", None),
+            ("c1", 0, "user", "fast search over the data archive", None),
+            ("c2", 0, "user", "поиск быстрый данных по архиву", None),
+            ("c3", 0, "user", "archive data over search fast", None),
+        ]
+        pdf = _mini_transcripts(spark, rows)
+        d = str(tmp_path / "bi")
+        build_index(spark, pdf, d, n_buckets=2, positions=True,
+                    mode="bilingual")
+        ora = build_oracle(
+            [{"doc_id": i, "text": r[3]} for i, r in enumerate(rows)],
+            mode="bilingual")
+        with FTSIndex(spark, d) as idx:
+            for ph, want in (
+                    ("быстрый поиск", [0]),
+                    # "over the data" → over@i data@i+2 ("the" gap)
+                    ("over the data", [1]),
+                    ("поиск по архиву", [0]),
+                    ("data archive", [1]),
+                    ("быстрый архив", []),
+            ):
+                eng = [(r["doc_id"], r["score"])
+                       for r in idx.search_phrase(ph).collect()]
+                assert eng == ora.search_phrase(ph), ph
+                assert [x for x, _ in eng] == want, ph
+
+
 class TestPhraseFuzz:
     def test_small_vocab_fuzz(self, spark, tmp_path):
         """Tiny vocab forces heavy term repetition and stopword
