@@ -1147,6 +1147,11 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
     prev_min = config.get("min_encode_avgdl")
     config["min_encode_avgdl"] = (
         avgdl if prev_min is None else min(float(prev_min), avgdl))
+    if doc_id_offset == 0:
+        # the avgdl the BASE postings blocks were encoded with —
+        # merge_segments re-derives the bound floor from this after
+        # it drops every delta segment (incremental.py)
+        config["base_encode_avgdl"] = avgdl
     mf.save_config(index_dir, config)
     mf.record_metrics(index_dir, run_id, "build",
                       [(-1, "seconds", total),

@@ -27,7 +27,15 @@ files; never rewrite the big tables in place):
   bitmap analogue).  Batches are identified by ``batch_id`` and
   exactly-once: re-applying a recorded batch is a no-op (the
   queue-dedup analogue).
-* ``compact``        — full rebuild from live docs (the segment-merge
+* ``merge_segments`` — TIERED merge: consolidate every delta segment
+  (and the delta-side tombstones they accumulated) into ONE fresh
+  segment, without touching the base index files.  Cost is
+  proportional to the DELTA size, not the corpus — the everyday merge
+  at 10^12-turn scale, where ``compact`` would rewrite ~50 TB of base
+  postings to reclaim GBs of deltas.  The Lucene analogue is a
+  background merge of the small segments in one tier while the big
+  bottom-tier segment is left alone.
+* ``compact``        — full rebuild from live docs (the forced-merge
   analogue): re-densifies doc_ids, drops tombstones, restores df
   exactness.
 
@@ -214,7 +222,16 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
     config = mf.load_config(index_dir)
     if config is None:
         raise FileNotFoundError(f"no build config at {index_dir}")
-    applied = {b["batch_id"] for b in config.get("delta_batches", [])}
+    if config.get("pending_merge"):
+        recover(index_dir)   # heal an interrupted merge_segments
+        config = mf.load_config(index_dir)
+    # exactly-once across merges: a merged lineage entry carries every
+    # historical batch id it absorbed (transitively), so re-applying a
+    # long-merged batch is still detected as a duplicate
+    applied = set()
+    for b in config.get("delta_batches", []):
+        applied.add(b["batch_id"])
+        applied.update(b.get("merged", []))
     if batch_id in applied:
         # Batch committed; heal the derived corpus_stats cache in case
         # the previous attempt crashed between commit and cache write.
@@ -344,6 +361,324 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
             "seconds": time.time() - t0}
 
 
+MERGE_TRASH = "_merge_trash_"
+
+
+def _placeholder_ddls(positions: bool) -> list[tuple[str, str]]:
+    """(table, schema DDL) for every index table that must stay
+    readable even when it holds zero rows (mirrors build.py's
+    standalone allow_empty placeholders)."""
+    from .build import POSITIONS_SCHEMA_DDL, POSTINGS_SCHEMA_DDL
+
+    out = [
+        ("postings", POSTINGS_SCHEMA_DDL),
+        ("pc_bounds", "term string, term_bucket int, pc long, mtf double"),
+        ("term_stats", "term string, df long"),
+        ("docs", "doc_id long, conv_id string, turn_idx int, role string, "
+                 "tool string, ts timestamp, dl int, text string"),
+    ]
+    if positions:
+        out.append(("positions", POSITIONS_SCHEMA_DDL))
+    return out
+
+
+def _dir_has_parquet(root: str) -> bool:
+    for r, _d, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _ensure_placeholders(spark, index_dir: str, positions: bool) -> None:
+    """After a merge removed segment files, any index table left with
+    ZERO parquet files gets a schema-only flat placeholder so the
+    index still opens (only reachable when the base itself was an
+    empty standalone build — build.py's allow_empty layout notes)."""
+    for name, ddl in _placeholder_ddls(positions):
+        root = os.path.join(index_dir, name)
+        if os.path.isdir(root) and not _dir_has_parquet(root):
+            shutil.rmtree(root, ignore_errors=True)
+            spark.createDataFrame([], ddl).write.mode("overwrite") \
+                .parquet(root)
+
+
+def recover(index_dir: str) -> dict:
+    """Roll back an interrupted ``merge_segments`` (and sweep any
+    garbage a committed one left), restoring the exact pre-merge
+    index.  Idempotent; a no-op on a healthy index.
+
+    The merge journals its intent in the build config
+    (``pending_merge``) BEFORE mutating shared directories, and every
+    mutation is reversible until the final atomic config save: old
+    files are MOVED to a trash directory (never deleted), new files
+    carry the merge token as a name prefix.  Rollback = delete the
+    token-prefixed files, move the trash back, clear the marker —
+    the same sweep-then-redo idempotence contract ``apply_updates``
+    uses (reference analogue: job/Job.java:150-154 checkpoint +
+    retry)."""
+    config = mf.load_config(index_dir)
+    if config is None:
+        raise FileNotFoundError(f"no build config at {index_dir}")
+    pm = config.get("pending_merge")
+    if pm is None:
+        # committed or never-started merges can leave only garbage:
+        # trash dirs (crash between commit and cleanup) and temp
+        # segment dirs (crash before the journal entry)
+        swept = 0
+        for e in list(os.listdir(index_dir)):
+            if e.startswith(MERGE_TRASH):
+                shutil.rmtree(os.path.join(index_dir, e),
+                              ignore_errors=True)
+                swept += 1
+        return {"rolled_back": False, "swept_trash_dirs": swept}
+
+    tok = pm["token"]
+    # 1. adopted merge outputs are token-prefixed — remove them
+    for sub in SEG_SUBDIRS:
+        root = os.path.join(index_dir, sub)
+        for r, _d, files in os.walk(root):
+            for f in files:
+                if f.startswith(f"seg-{tok}-"):
+                    os.remove(os.path.join(r, f))
+    tomb_dir = os.path.join(index_dir, TOMBSTONES)
+    if os.path.isdir(tomb_dir):
+        for f in list(os.listdir(tomb_dir)):
+            if f.startswith(f"batch-{tok}-"):
+                os.remove(os.path.join(tomb_dir, f))
+    # 2. restore every trashed file to its original relative path
+    trash = os.path.join(index_dir, pm["trash"])
+    if os.path.isdir(trash):
+        for r, _d, files in os.walk(trash):
+            rel = os.path.relpath(r, trash)
+            dst = index_dir if rel == "." else os.path.join(index_dir, rel)
+            os.makedirs(dst, exist_ok=True)
+            for f in files:
+                os.replace(os.path.join(r, f), os.path.join(dst, f))
+        shutil.rmtree(trash, ignore_errors=True)
+    # 3. temp artifacts + journal entry
+    shutil.rmtree(os.path.join(index_dir, f"_seg_{tok}"),
+                  ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, f"_tomb_{tok}"),
+                  ignore_errors=True)
+    config = mf.load_config(index_dir)
+    config.pop("pending_merge", None)
+    mf.save_config(index_dir, config)
+    return {"rolled_back": True, "token": tok}
+
+
+def merge_segments(spark, index_dir: str, *,
+                   n_buckets: int | str = "auto") -> dict:
+    """Tiered segment merge: consolidate ALL delta segments into one.
+
+    Decodes nothing from the base index — reads the delta docs (every
+    ``docs`` row with ``doc_id >= first_delta_id``), drops the
+    tombstoned ones, and rebuilds them as a single fresh segment via
+    the normal mini-build, then atomically swaps it in for the old
+    segment files.  Effects, exactly Lucene's merge-of-small-segments:
+
+    * file count drops from O(batches × buckets) to one segment's
+      worth — query-time listing and per-file decode overhead shrink;
+    * ``df`` becomes EXACT again for every delta posting (tombstoned
+      delta docs' postings are physically dropped); base df stays as
+      built (base tombstones wait for ``compact``);
+    * delta-side tombstones are reclaimed (only tombstones pointing
+      at base docs survive);
+    * delta doc_ids are re-densified from ``first_delta_id`` under
+      stable (conv_id, turn_idx) order; ``next_doc_id`` shrinks
+      accordingly (freed ids are reused by later batches);
+    * live N / avgdl / every query result over live docs that a
+      fresh-build index would return are unchanged — pytest pins
+      post-merge output equal to an index where the surviving delta
+      docs were applied as one batch.
+
+    Scale contract: runtime and shuffle are proportional to the LIVE
+    DELTA corpus only.  At the 10^12-turn design point the base is
+    ~50 TB of postings and a day of deltas is GBs — this is the merge
+    you run hourly, with ``compact`` reserved for df re-densification
+    of the base.
+
+    Crash-safe via a journal + trash protocol (see ``recover``): any
+    interruption rolls back to the exact pre-merge index; the final
+    config save is the commit point.
+    """
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    config = mf.load_config(index_dir)
+    if config is None:
+        raise FileNotFoundError(f"no build config at {index_dir}")
+    if config.get("pending_merge"):
+        recover(index_dir)
+        config = mf.load_config(index_dir)
+
+    batches = config.get("delta_batches", [])
+    if not batches:
+        return {"skipped": True, "reason": "no delta batches"}
+    first_ids = [b["first_doc_id"] for b in batches
+                 if b.get("first_doc_id") is not None]
+    if not first_ids:
+        return {"skipped": True, "reason": "no delta docs"}
+    first_delta_id = int(min(first_ids))
+
+    tomb = _tombstones_df(spark, index_dir)
+    n_delta_tomb = 0
+    if tomb is not None:
+        n_delta_tomb = tomb.filter(
+            F.col("doc_id") >= first_delta_id).count()
+    if (len(batches) == 1
+            and str(batches[0]["batch_id"]).startswith("_merge.")
+            and n_delta_tomb == 0):
+        return {"skipped": True, "reason": "already merged"}
+
+    # carry every absorbed batch id TRANSITIVELY — apply_updates'
+    # exactly-once check reads this list after the lineage collapses
+    merged_ids = []
+    for b in batches:
+        merged_ids.extend(str(x) for x in b.get("merged", []))
+        merged_ids.append(str(b["batch_id"]))
+    merged_id = "_merge." + hashlib.sha1(
+        "\x00".join(merged_ids).encode("utf-8")).hexdigest()[:16]
+    tok = _fs_token(merged_id)
+    # deterministic names ⇒ a retried merge must first sweep anything
+    # a previous attempt adopted (recover() above handled journaled
+    # attempts; this handles a crash before the journal entry)
+    _cleanup_batch_artifacts(index_dir, merged_id)
+
+    # ---- read-only phase: build the merged segment in a temp dir ----
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    live_delta = docs.filter(F.col("doc_id") >= first_delta_id)
+    if tomb is not None:
+        live_delta = live_delta.join(tomb, "doc_id", "left_anti")
+    live_delta = live_delta.select(*KEYS, *CONTENT_COLS)
+
+    positions = bool(config.get("positions", False))
+    seg_dir = os.path.join(index_dir, f"_seg_{tok}")
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    n_merged, merged_avgdl = 0, None
+    if live_delta.limit(1).count():
+        res = build_index(
+            spark, live_delta, seg_dir, mode=config["mode"],
+            n_buckets=n_buckets, k1=config["k1"], b=config["b"],
+            block_size=config["block_size"],
+            chunk_size=config["chunk_size"],
+            n_term_buckets=config.get("n_term_buckets", 16),
+            doc_id_offset=first_delta_id, positions=positions,
+            allow_empty=True)
+        n_merged, merged_avgdl = int(res["n_docs"]), res["avgdl"]
+
+    # surviving (base-side) tombstones, staged to a temp dir before
+    # any mutation — the rewrite below must not re-read moved files
+    tomb_tmp = os.path.join(index_dir, f"_tomb_{tok}")
+    n_base_tomb = 0
+    if tomb is not None:
+        base_tomb = tomb.filter(F.col("doc_id") < first_delta_id)
+        n_base_tomb = base_tomb.count()
+        if n_base_tomb:
+            base_tomb.select("doc_id").write.mode("overwrite") \
+                .parquet(tomb_tmp)
+
+    # ---- journaled swap (reversible until the final config save) ----
+    trash_name = f"{MERGE_TRASH}{tok}"
+    trash = os.path.join(index_dir, trash_name)
+    config = mf.load_config(index_dir)
+    config["pending_merge"] = {"token": tok, "trash": trash_name}
+    mf.save_config(index_dir, config)
+
+    def _to_trash(path: str) -> None:
+        rel = os.path.relpath(path, index_dir)
+        dst = os.path.join(trash, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(path, dst)
+
+    # old segment files (every seg-* file is delta-owned: adoption is
+    # the only writer of that prefix) and old tombstone batch files
+    for sub in SEG_SUBDIRS:
+        root = os.path.join(index_dir, sub)
+        for r, _d, files in os.walk(root):
+            for f in sorted(files):
+                if f.startswith("seg-") and f.endswith(".parquet"):
+                    _to_trash(os.path.join(r, f))
+    tomb_dir = os.path.join(index_dir, TOMBSTONES)
+    if os.path.isdir(tomb_dir):
+        for f in sorted(os.listdir(tomb_dir)):
+            if f.startswith("batch-") and f.endswith(".parquet"):
+                _to_trash(os.path.join(tomb_dir, f))
+    # a base-placeholder flat file would be DELETED by adoption when
+    # the merged segment brings hive dirs; trash it instead so a
+    # rollback can restore it (only exists over an empty base build)
+    if n_merged:
+        for sub in ("postings", "pc_bounds", "positions"):
+            src_root = os.path.join(seg_dir, sub)
+            dst_root = os.path.join(index_dir, sub)
+            if not (os.path.isdir(src_root) and os.path.isdir(dst_root)):
+                continue
+            if any(e.startswith("term_bucket=")
+                   for e in os.listdir(src_root)):
+                for e in list(os.listdir(dst_root)):
+                    fp = os.path.join(dst_root, e)
+                    if os.path.isfile(fp) and e.endswith(".parquet") \
+                            and not e.startswith("seg-"):
+                        _to_trash(fp)
+                        crc = os.path.join(dst_root, f".{e}.crc")
+                        if os.path.isfile(crc):
+                            os.remove(crc)
+
+    if n_merged:
+        _adopt_segment_files(seg_dir, index_dir, merged_id)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    if n_base_tomb:
+        os.makedirs(tomb_dir, exist_ok=True)
+        i = 0
+        for f in sorted(os.listdir(tomb_tmp)):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(tomb_tmp, f),
+                           os.path.join(tomb_dir,
+                                        f"batch-{tok}-{i:05d}.parquet"))
+                i += 1
+    shutil.rmtree(tomb_tmp, ignore_errors=True)
+    _ensure_placeholders(spark, index_dir, positions)
+
+    # ---- commit point: one atomic config save ----
+    config = mf.load_config(index_dir)
+    config["delta_batches"] = [{
+        "batch_id": merged_id, "merged": merged_ids,
+        "upserts_indexed": n_merged, "tombstoned": n_base_tomb,
+        "first_doc_id": first_delta_id if n_merged else None}]
+    config["next_doc_id"] = first_delta_id + n_merged
+    # block-max encode floor: the merged segment replaces every old
+    # delta segment, so the floor is re-derived from the base's own
+    # encode avgdl (recorded by standalone builds) + the merged
+    # segment's — merges partially RESTORE bound tightness.  Older
+    # indexes without the base record keep the conservative min.
+    cands = []
+    base_enc = config.get("base_encode_avgdl")
+    prev_min = config.get("min_encode_avgdl")
+    if base_enc is not None:
+        cands.append(float(base_enc))
+    elif prev_min is not None:
+        cands.append(float(prev_min))
+    if n_merged and merged_avgdl:
+        cands.append(float(merged_avgdl))
+    if cands:
+        config["min_encode_avgdl"] = min(cands)
+    config.pop("pending_merge", None)
+    mf.save_config(index_dir, config)
+
+    shutil.rmtree(trash, ignore_errors=True)
+    mf.mark(index_dir, f"merge_{merged_id}", [-1], "done",
+            rows_in={-1: n_merged}, terms_out={-1: n_delta_tomb})
+    mf.record_metrics(index_dir, f"merge_{merged_id}", "merge",
+                      [(-1, "seconds", time.time() - t0),
+                       (-1, "docs_merged", n_merged),
+                       (-1, "segments_merged", len(merged_ids)),
+                       (-1, "delta_tombstones_reclaimed", n_delta_tomb)])
+    return {"skipped": False, "batch_id": merged_id,
+            "segments_merged": len(merged_ids), "docs_merged": n_merged,
+            "delta_tombstones_reclaimed": n_delta_tomb,
+            "base_tombstones_kept": n_base_tomb,
+            "seconds": time.time() - t0}
+
+
 def compact(spark, index_dir: str, *,
             n_buckets: int | str = "auto",
             positions: bool | None = None) -> dict:
@@ -366,6 +701,9 @@ def compact(spark, index_dir: str, *,
     config = mf.load_config(index_dir)
     if config is None:
         raise FileNotFoundError(f"no build config at {index_dir}")
+    if config.get("pending_merge"):
+        recover(index_dir)   # heal an interrupted merge_segments
+        config = mf.load_config(index_dir)
 
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     tomb = _tombstones_df(spark, index_dir)
@@ -392,4 +730,23 @@ def compact(spark, index_dir: str, *,
     os.replace(index_dir, old)
     os.replace(tmp, index_dir)
     shutil.rmtree(old, ignore_errors=True)
+
+    # Exactly-once across compactions: the fresh build forgot which
+    # delta batches the old index had applied, so a late retry of a
+    # pre-compact batch would double-apply.  Carry the full applied
+    # set forward as one synthetic zero-doc lineage entry (same
+    # mechanism merge_segments uses; first_doc_id None keeps it inert
+    # for future merges).
+    applied = []
+    for b in config.get("delta_batches", []):
+        applied.extend(str(x) for x in b.get("merged", []))
+        applied.append(str(b["batch_id"]))
+    if applied:
+        new_config = mf.load_config(index_dir)
+        new_config["delta_batches"] = [{
+            "batch_id": "_compact." + hashlib.sha1(
+                "\x00".join(applied).encode("utf-8")).hexdigest()[:16],
+            "merged": applied, "upserts_indexed": 0, "tombstoned": 0,
+            "first_doc_id": None}]
+        mf.save_config(index_dir, new_config)
     return {"n_docs": res["n_docs"], "seconds": time.time() - t0}

@@ -210,6 +210,12 @@ class FTSIndex:
         config = mf.load_config(index_dir)
         if config is None:
             raise FileNotFoundError(f"no build config at {index_dir}")
+        if config.get("pending_merge"):
+            raise RuntimeError(
+                f"index at {index_dir} has an interrupted segment merge "
+                "— run moera_search_spark.incremental.recover(index_dir) "
+                "(or merge_segments, which recovers first) before "
+                "opening it")
         self.config = config
         self.mode = config["mode"]
         self.k1 = float(config["k1"])
