@@ -5,9 +5,12 @@ semantics (the update-queue / Index.update / Index.delete surface,
 reference: scanner/UpdateQueue.java:53-137, index/Index.java:131-224):
 
 * ``incr_insert_topk`` — build the index over the first 400 documents,
-  apply the remaining 100 as a delta batch, query.  Insert-only deltas
-  leave N/avgdl/df identical to a from-scratch build, so DuckDB's BM25
-  over the full corpus is an exact oracle.
+  apply the remaining 100 as TWO delta batches, consolidate them with
+  ``merge_segments`` (the tiered merge), query.  Insert-only deltas —
+  merged or not — leave N/avgdl/df identical to a from-scratch build,
+  so DuckDB's BM25 over the full corpus is an exact oracle; the entry
+  cross-engine-verifies the whole build → delta → merge → query
+  lifecycle.
 * ``incr_delete_topk`` — build over all 500, delete the first 25 as a
   delta batch, query.  Documented Lucene-faithful semantics: N/avgdl/dl
   from live docs, df still counting deleted docs (not decremented until
@@ -60,19 +63,27 @@ def _result(idx, k=K):
 
 
 def incr_insert_topk(spark, sf_dir):
-    """Delta-insert then query: rank/score-identical to a fresh build
-    over the union (insert-only deltas change no global statistic
-    retroactively)."""
+    """Delta-insert (two batches), tiered-merge, then query:
+    rank/score-identical to a fresh build over the union (insert-only
+    deltas change no global statistic retroactively, and the merge is
+    pure segment consolidation)."""
     from ..build import build_index
-    from ..incremental import apply_updates
+    from ..incremental import apply_updates, merge_segments
     from ..query import FTSIndex
 
     idx_dir = tempfile.mkdtemp(prefix="incr_ins_") + "/idx"
     build_index(spark, _docs_as_transcripts(spark, sf_dir, hi=SPLIT),
                 idx_dir, mode="simple", n_buckets=4)
+    mid = SPLIT + (500 - SPLIT) // 2
     apply_updates(spark, idx_dir,
-                  upserts=_docs_as_transcripts(spark, sf_dir, lo=SPLIT),
-                  batch_id="insert-tail", n_buckets=2)
+                  upserts=_docs_as_transcripts(spark, sf_dir, lo=SPLIT,
+                                               hi=mid),
+                  batch_id="insert-tail-a", n_buckets=2)
+    apply_updates(spark, idx_dir,
+                  upserts=_docs_as_transcripts(spark, sf_dir, lo=mid),
+                  batch_id="insert-tail-b", n_buckets=2)
+    res = merge_segments(spark, idx_dir)
+    assert not res["skipped"] and res["segments_merged"] == 2
     return _result(FTSIndex(spark, idx_dir))
 
 
