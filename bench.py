@@ -263,6 +263,39 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         out["search_many_speedup_vs_pruned"] = round(
             seqs["pruned"] / warm, 2)
 
+    if with_queries and tag in ("", "b"):
+        # Tiered-merge leg (both engine legs): apply a FIXED-SIZE
+        # delta as TWO re-keyed batches, then consolidate with
+        # merge_segments.  The claim under test is cost ∝ DELTA size,
+        # independent of the base: the same 20k-doc delta merged into
+        # the 973k base and the 3.9M base should cost ≈ the same,
+        # while compact (the forced full merge) costs ≈ build_sec and
+        # grows with the base.  Single samples behind a settle gate,
+        # like the positions leg.
+        from pyspark.sql import functions as F
+
+        from moera_search_spark.incremental import (apply_updates,
+                                                    merge_segments)
+
+        settle()
+        n_delta = min(20000, max(1000, int(res["n_docs"] // 2)))
+        delta = (tr.orderBy("conv_id", "turn_idx").limit(n_delta)
+                 .withColumn("conv_id",
+                             F.concat(F.lit("delta-"), F.col("conv_id"))))
+        half = n_delta // 2
+        t0 = time.time()
+        apply_updates(spark, idx_dir, upserts=delta.limit(half),
+                      batch_id="bench-delta-a", n_buckets=4)
+        apply_updates(spark, idx_dir, upserts=delta.offset(half),
+                      batch_id="bench-delta-b", n_buckets=4)
+        out["delta_apply_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        mres = merge_segments(spark, idx_dir)
+        merge_sec = time.time() - t0
+        out["merge_sec"] = round(merge_sec, 2)
+        out["merge_docs"] = mres["docs_merged"]
+        out["merge_vs_full_build"] = round(merge_sec / build_sec, 3)
+
     if with_queries and not tag:
         # Positional-index leg (small engine leg only — the headline
         # build legs stay positions-less for round-over-round
@@ -456,6 +489,8 @@ def main() -> None:
         engine[f"local[{ENGINE_CPUS}]"].get("build_positions_sec")
     queries["engine_query_p50_phrase"] = \
         engine[f"local[{ENGINE_CPUS}]"].get("p50_phrase_sec")
+    queries["engine_merge_sec"] = \
+        engine[f"local[{ENGINE_CPUS}]"].get("merge_sec")
 
     if BIG_CONVS:
         # large-corpus leg: the pruned/exhaustive crossover size
@@ -469,6 +504,7 @@ def main() -> None:
             big.get("p50_exhaustive_sec")
         queries[f"engine_query_p50_pruned_{label}"] = \
             big.get("p50_pruned_sec")
+        queries[f"engine_merge_sec_{label}"] = big.get("merge_sec")
 
     if SCALING and hi != lo:
         # scaling legs: same job, 4× corpus (see module docstring),

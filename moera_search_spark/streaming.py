@@ -75,8 +75,16 @@ EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
 def stream_updates(spark, index_dir: str, changelog_dir: str, *,
                    checkpoint_dir: str, batch_prefix: str = "stream",
                    available_now: bool = True, n_buckets: int = 8,
-                   timeout_sec: float | None = None):
+                   timeout_sec: float | None = None,
+                   merge_every: int | None = None):
     """Consume a change-log directory into the index.
+
+    ``merge_every``: background merge policy (the analogue of Lucene's
+    TieredMergePolicy kicking in as segments accumulate) — after a
+    micro-batch commits, if the index holds ≥ this many delta lineage
+    entries, ``merge_segments`` consolidates them.  Replays are safe:
+    the merge runs AFTER the batch's own exactly-once commit, and an
+    interrupted merge rolls itself back on the next attempt.
 
     Returns the (terminated, when ``available_now``) StreamingQuery.
     """
@@ -125,6 +133,13 @@ def stream_updates(spark, index_dir: str, changelog_dir: str, *,
                           deletes=deletes,
                           batch_id=f"{batch_prefix}-{batch_id}",
                           n_buckets=n_buckets)
+            if merge_every:
+                from . import manifest as mf
+                from .incremental import merge_segments
+
+                cfg = mf.load_config(index_dir)
+                if len(cfg.get("delta_batches", [])) >= merge_every:
+                    merge_segments(spark, index_dir)
         finally:
             batch_df.unpersist()
 

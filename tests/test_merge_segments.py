@@ -282,6 +282,42 @@ class TestPositionalMerge:
         assert got == want and len(got) == 2
 
 
+class TestStreamAutoMerge:
+    def test_merge_every_policy(self, spark, corpus_df, tmp_path_factory):
+        from moera_search_spark.streaming import stream_updates
+
+        root = tmp_path_factory.mktemp("stream_automerge")
+        idx_dir = str(root / "idx")
+        changelog = str(root / "changelog")
+        checkpoint = str(root / "ckpt")
+        build_index(spark, corpus_df.filter(F.col("conv_id") < "conv-00000020"),
+                    idx_dir, n_buckets=2)
+
+        def log(lo, hi):
+            (corpus_df.filter((F.col("conv_id") >= lo)
+                              & (F.col("conv_id") < hi))
+             .select("conv_id", "turn_idx", "role", "text", "tool", "ts",
+                     F.lit("upsert").alias("op"))
+             .write.mode("append").parquet(changelog))
+
+        log("conv-00000020", "conv-00000025")
+        stream_updates(spark, idx_dir, changelog, checkpoint_dir=checkpoint,
+                       n_buckets=2, timeout_sec=300, merge_every=2)
+        assert len(mf.load_config(idx_dir)["delta_batches"]) == 1  # no merge yet
+
+        log("conv-00000025", "conv-00000030")
+        stream_updates(spark, idx_dir, changelog, checkpoint_dir=checkpoint,
+                       n_buckets=2, timeout_sec=300, merge_every=2)
+        cfg = mf.load_config(idx_dir)
+        assert len(cfg["delta_batches"]) == 1
+        assert str(cfg["delta_batches"][0]["batch_id"]).startswith("_merge.")
+        # merged index answers over the whole streamed corpus
+        idx = FTSIndex(spark, idx_dir)
+        assert idx.n_docs == corpus_df.filter(
+            F.col("conv_id") < "conv-00000030").count()
+        assert idx.search("the system", k=5).collect()
+
+
 class TestCompactCarriesLineage:
     def test_precompact_batch_replay_is_noop(self, spark, corpus_df,
                                              tmp_path_factory):
