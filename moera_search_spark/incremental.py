@@ -105,6 +105,53 @@ SEG_SUBDIRS = ("docs", "term_stats", "postings", "pc_bounds",
                               # cleanup walks skip missing dirs
 
 
+def _is_flat_placeholder(name: str) -> bool:
+    """Root-level schema-only placeholder files: the flat empty tables
+    a fully-blanked standalone build writes (``part-*.parquet``), or
+    the token-prefixed ones ``merge_segments`` writes
+    (``seg-<tok>-placeholder.parquet`` — token-named so an interrupted
+    merge's ``recover()`` can identify and remove them)."""
+    return name.endswith(".parquet") and (
+        not name.startswith("seg-")
+        or name.endswith("-placeholder.parquet"))
+
+
+def _clear_flat_placeholders(src_root: str, dst_root: str, remove) -> None:
+    """When a segment brings hive-partitioned files, the table's flat
+    root-level placeholder (if any) is obsolete — leaving it would mix
+    root-level leaf files with term_bucket= dirs (readable on current
+    Spark/pyarrow, but unspecified layout territory).  ``remove`` is
+    the disposal policy: ``os.remove`` on the adoption path, move-to-
+    trash on the journaled merge path (so a rollback restores it)."""
+    if not (os.path.isdir(dst_root) and os.path.isdir(src_root)):
+        return
+    if not any(e.startswith("term_bucket=") for e in os.listdir(src_root)):
+        return
+    for e in list(os.listdir(dst_root)):
+        fp = os.path.join(dst_root, e)
+        if os.path.isfile(fp) and _is_flat_placeholder(e):
+            crc = os.path.join(dst_root, f".{e}.crc")
+            if os.path.isfile(crc):
+                os.remove(crc)
+            remove(fp)
+
+
+def _promote_staged_files(tmp_dir: str, dst_dir: str,
+                          name_prefix: str) -> int:
+    """Move a staging directory's parquet files into ``dst_dir`` under
+    deterministic ``<name_prefix><seq>.parquet`` names (retries
+    overwrite instead of appending duplicates).  Returns the count."""
+    os.makedirs(dst_dir, exist_ok=True)
+    i = 0
+    for f in sorted(os.listdir(tmp_dir)):
+        if f.endswith(".parquet"):
+            os.replace(os.path.join(tmp_dir, f),
+                       os.path.join(dst_dir,
+                                    f"{name_prefix}{i:05d}.parquet"))
+            i += 1
+    return i
+
+
 def _adopt_segment_files(seg_dir: str, index_dir: str, batch_id: str,
                          subdirs: tuple[str, ...] = SEG_SUBDIRS) -> None:
     """Move a finished segment's parquet files into the main index
@@ -118,24 +165,7 @@ def _adopt_segment_files(seg_dir: str, index_dir: str, batch_id: str,
     for sub in subdirs:
         src_root = os.path.join(seg_dir, sub)
         dst_root = os.path.join(index_dir, sub)
-        # A fully-blanked standalone build/compact leaves a FLAT
-        # schema-only placeholder file at the table root (so the index
-        # opens); once a segment brings real hive-partitioned files the
-        # placeholder is obsolete, and leaving it would mix root-level
-        # leaf files with term_bucket= dirs — readable on current
-        # Spark/pyarrow, but unspecified layout territory.  Drop it.
-        if os.path.isdir(dst_root) and any(
-                e.startswith(f"{sub_col}=")
-                for sub_col in ("term_bucket",)
-                for e in (os.listdir(src_root)
-                          if os.path.isdir(src_root) else [])):
-            for e in list(os.listdir(dst_root)):
-                fp = os.path.join(dst_root, e)
-                if os.path.isfile(fp) and e.endswith(".parquet")                         and not e.startswith("seg-"):
-                    os.remove(fp)
-                    crc = os.path.join(dst_root, f".{e}.crc")
-                    if os.path.isfile(crc):
-                        os.remove(crc)
+        _clear_flat_placeholders(src_root, dst_root, os.remove)
         for root, dirs, files in os.walk(src_root):
             dirs.sort()
             rel = os.path.relpath(root, src_root)
@@ -181,14 +211,8 @@ def _adopt_tombstones(spark, index_dir: str, batch_id: str, doomed) -> None:
     tok = _fs_token(batch_id)
     tmp = os.path.join(index_dir, f"_tomb_{tok}")
     doomed.select("doc_id").write.mode("overwrite").parquet(tmp)
-    dst = os.path.join(index_dir, TOMBSTONES)
-    os.makedirs(dst, exist_ok=True)
-    i = 0
-    for f in sorted(os.listdir(tmp)):
-        if f.endswith(".parquet"):
-            os.replace(os.path.join(tmp, f),
-                       os.path.join(dst, f"batch-{tok}-{i:05d}.parquet"))
-            i += 1
+    _promote_staged_files(tmp, os.path.join(index_dir, TOMBSTONES),
+                          f"batch-{tok}-")
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -218,13 +242,18 @@ def apply_updates(spark, index_dir: str, upserts=None, deletes=None, *,
     """
     from pyspark.sql import functions as F
 
+    if batch_id.startswith(("_merge.", "_compact.")):
+        raise ValueError(
+            f"batch_id {batch_id!r} uses a reserved prefix — '_merge.' "
+            "and '_compact.' name the synthetic lineage entries "
+            "merge_segments/compact write, and the merge policy keys "
+            "on them")
     t0 = time.time()
     config = mf.load_config(index_dir)
     if config is None:
         raise FileNotFoundError(f"no build config at {index_dir}")
-    if config.get("pending_merge"):
-        recover(index_dir)   # heal an interrupted merge_segments
-        config = mf.load_config(index_dir)
+    recover(index_dir)   # heal an interrupted merge; sweep merge garbage
+    config = mf.load_config(index_dir)
     # exactly-once across merges: a merged lineage entry carries every
     # historical batch id it absorbed (transitively), so re-applying a
     # long-merged batch is still detected as a duplicate
@@ -389,17 +418,43 @@ def _dir_has_parquet(root: str) -> bool:
     return False
 
 
-def _ensure_placeholders(spark, index_dir: str, positions: bool) -> None:
+def _ensure_placeholders(spark, index_dir: str, positions: bool,
+                         token: str) -> None:
     """After a merge removed segment files, any index table left with
     ZERO parquet files gets a schema-only flat placeholder so the
     index still opens (only reachable when the base itself was an
-    empty standalone build — build.py's allow_empty layout notes)."""
+    empty standalone build — build.py's allow_empty layout notes).
+
+    The placeholder is written non-destructively into the existing
+    directory under a token-derived name
+    (``seg-<token>-placeholder.parquet``) so an interrupted merge's
+    ``recover()`` can remove it by prefix — keeping the whole
+    journaled window reversible.  Adoption recognizes the
+    ``-placeholder.parquet`` suffix and drops it the moment a segment
+    brings real hive-partitioned files (``_is_flat_placeholder``)."""
     for name, ddl in _placeholder_ddls(positions):
         root = os.path.join(index_dir, name)
-        if os.path.isdir(root) and not _dir_has_parquet(root):
-            shutil.rmtree(root, ignore_errors=True)
-            spark.createDataFrame([], ddl).write.mode("overwrite") \
-                .parquet(root)
+        if not (os.path.isdir(root) and not _dir_has_parquet(root)):
+            continue
+        tmp = os.path.join(index_dir, f"_seg_{token}_ph_{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        # repartition(1) forces exactly one (schema-only) output file
+        # even for a zero-partition empty frame
+        spark.createDataFrame([], ddl).repartition(1) \
+            .write.mode("overwrite").parquet(tmp)
+        moved = 0
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(tmp, f),
+                    os.path.join(root,
+                                 f"seg-{token}-placeholder.parquet"))
+                moved = 1
+                break
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not moved:
+            raise RuntimeError(
+                f"empty-frame write produced no parquet file for {name}")
 
 
 def recover(index_dir: str) -> dict:
@@ -421,16 +476,22 @@ def recover(index_dir: str) -> dict:
         raise FileNotFoundError(f"no build config at {index_dir}")
     pm = config.get("pending_merge")
     if pm is None:
-        # committed or never-started merges can leave only garbage:
-        # trash dirs (crash between commit and cleanup) and temp
-        # segment dirs (crash before the journal entry)
+        # Committed or never-started merges can leave only garbage:
+        # trash dirs (crash between the commit save and the trash
+        # rmtree) and temp segment/tombstone staging dirs (crash
+        # before the journal entry — a retried merge over a changed
+        # batch set gets a new token, so per-token cleanup would miss
+        # them).  Also covers apply_updates' own staging dirs, whose
+        # per-batch sweep misses a batch never retried.  Safe under
+        # the engine's single-writer contract: every entry point runs
+        # this BEFORE creating its own staging dirs.
         swept = 0
         for e in list(os.listdir(index_dir)):
-            if e.startswith(MERGE_TRASH):
+            if e.startswith((MERGE_TRASH, "_seg_", "_tomb_")):
                 shutil.rmtree(os.path.join(index_dir, e),
                               ignore_errors=True)
                 swept += 1
-        return {"rolled_back": False, "swept_trash_dirs": swept}
+        return {"rolled_back": False, "swept_dirs": swept}
 
     tok = pm["token"]
     # 1. adopted merge outputs are token-prefixed — remove them
@@ -455,11 +516,12 @@ def recover(index_dir: str) -> dict:
             for f in files:
                 os.replace(os.path.join(r, f), os.path.join(dst, f))
         shutil.rmtree(trash, ignore_errors=True)
-    # 3. temp artifacts + journal entry
-    shutil.rmtree(os.path.join(index_dir, f"_seg_{tok}"),
-                  ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, f"_tomb_{tok}"),
-                  ignore_errors=True)
+    # 3. temp artifacts + journal entry (prefix sweep: covers the
+    # segment build dir, the staged-tombstone dir, and the
+    # placeholder staging dirs alike)
+    for e in list(os.listdir(index_dir)):
+        if e.startswith(("_seg_", "_tomb_")):
+            shutil.rmtree(os.path.join(index_dir, e), ignore_errors=True)
     config = mf.load_config(index_dir)
     config.pop("pending_merge", None)
     mf.save_config(index_dir, config)
@@ -507,9 +569,8 @@ def merge_segments(spark, index_dir: str, *,
     config = mf.load_config(index_dir)
     if config is None:
         raise FileNotFoundError(f"no build config at {index_dir}")
-    if config.get("pending_merge"):
-        recover(index_dir)
-        config = mf.load_config(index_dir)
+    recover(index_dir)
+    config = mf.load_config(index_dir)
 
     batches = config.get("delta_batches", [])
     if not batches:
@@ -517,8 +578,16 @@ def merge_segments(spark, index_dir: str, *,
     first_ids = [b["first_doc_id"] for b in batches
                  if b.get("first_doc_id") is not None]
     if not first_ids:
-        return {"skipped": True, "reason": "no delta docs"}
-    first_delta_id = int(min(first_ids))
+        if len(batches) == 1:
+            return {"skipped": True, "reason": "no delta docs"}
+        # delete-only lineage: no doc-bearing segments exist, but the
+        # per-batch tombstone files and lineage entries still pile up
+        # — consolidate them (the generic path below degenerates to a
+        # tombstone rewrite + lineage collapse when no doc_id can be
+        # delta-side)
+        first_delta_id = int(config.get("next_doc_id", 0))
+    else:
+        first_delta_id = int(min(first_ids))
 
     tomb = _tombstones_df(spark, index_dir)
     n_delta_tomb = 0
@@ -574,8 +643,12 @@ def merge_segments(spark, index_dir: str, *,
         base_tomb = tomb.filter(F.col("doc_id") < first_delta_id)
         n_base_tomb = base_tomb.count()
         if n_base_tomb:
-            base_tomb.select("doc_id").write.mode("overwrite") \
-                .parquet(tomb_tmp)
+            # part of the merge's point is file consolidation — size
+            # the output by rows, not by however many per-batch files
+            # the reads spanned (8 B/doc_id: one file per ~50M deletes)
+            n_files = max(1, n_base_tomb // 50_000_000)
+            base_tomb.select("doc_id").coalesce(n_files) \
+                .write.mode("overwrite").parquet(tomb_tmp)
 
     # ---- journaled swap (reversible until the final config save) ----
     trash_name = f"{MERGE_TRASH}{tok}"
@@ -608,35 +681,22 @@ def merge_segments(spark, index_dir: str, *,
     # rollback can restore it (only exists over an empty base build)
     if n_merged:
         for sub in ("postings", "pc_bounds", "positions"):
-            src_root = os.path.join(seg_dir, sub)
-            dst_root = os.path.join(index_dir, sub)
-            if not (os.path.isdir(src_root) and os.path.isdir(dst_root)):
-                continue
-            if any(e.startswith("term_bucket=")
-                   for e in os.listdir(src_root)):
-                for e in list(os.listdir(dst_root)):
-                    fp = os.path.join(dst_root, e)
-                    if os.path.isfile(fp) and e.endswith(".parquet") \
-                            and not e.startswith("seg-"):
-                        _to_trash(fp)
-                        crc = os.path.join(dst_root, f".{e}.crc")
-                        if os.path.isfile(crc):
-                            os.remove(crc)
+            _clear_flat_placeholders(os.path.join(seg_dir, sub),
+                                     os.path.join(index_dir, sub),
+                                     _to_trash)
 
     if n_merged:
         _adopt_segment_files(seg_dir, index_dir, merged_id)
     shutil.rmtree(seg_dir, ignore_errors=True)
     if n_base_tomb:
-        os.makedirs(tomb_dir, exist_ok=True)
-        i = 0
-        for f in sorted(os.listdir(tomb_tmp)):
-            if f.endswith(".parquet"):
-                os.replace(os.path.join(tomb_tmp, f),
-                           os.path.join(tomb_dir,
-                                        f"batch-{tok}-{i:05d}.parquet"))
-                i += 1
+        _promote_staged_files(tomb_tmp, tomb_dir, f"batch-{tok}-")
     shutil.rmtree(tomb_tmp, ignore_errors=True)
-    _ensure_placeholders(spark, index_dir, positions)
+    # Placeholders are written INSIDE the journaled window but stay
+    # reversible: they carry the merge token in their name
+    # (seg-<tok>-placeholder.parquet), so recover() removes them with
+    # the rest of the token-prefixed outputs before restoring the
+    # trash — rollback lands the byte-exact pre-merge layout.
+    _ensure_placeholders(spark, index_dir, positions, tok)
 
     # ---- commit point: one atomic config save ----
     config = mf.load_config(index_dir)
@@ -701,9 +761,8 @@ def compact(spark, index_dir: str, *,
     config = mf.load_config(index_dir)
     if config is None:
         raise FileNotFoundError(f"no build config at {index_dir}")
-    if config.get("pending_merge"):
-        recover(index_dir)   # heal an interrupted merge_segments
-        config = mf.load_config(index_dir)
+    recover(index_dir)   # heal an interrupted merge; sweep merge garbage
+    config = mf.load_config(index_dir)
 
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     tomb = _tombstones_df(spark, index_dir)
@@ -725,28 +784,31 @@ def compact(spark, index_dir: str, *,
         # path) so the compacted index still opens and tombstones are
         # actually reclaimed instead of compact() raising forever
         allow_empty=True)
-    old = index_dir.rstrip("/") + ".precompact"
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(index_dir, old)
-    os.replace(tmp, index_dir)
-    shutil.rmtree(old, ignore_errors=True)
-
     # Exactly-once across compactions: the fresh build forgot which
     # delta batches the old index had applied, so a late retry of a
     # pre-compact batch would double-apply.  Carry the full applied
     # set forward as one synthetic zero-doc lineage entry (same
     # mechanism merge_segments uses; first_doc_id None keeps it inert
-    # for future merges).
+    # for future merges).  Written into the TMP config BEFORE the
+    # directory swap — the swap is the commit point, so the lineage
+    # must already be inside what it commits (a post-swap write would
+    # silently vanish on a crash in between).
     applied = []
     for b in config.get("delta_batches", []):
         applied.extend(str(x) for x in b.get("merged", []))
         applied.append(str(b["batch_id"]))
     if applied:
-        new_config = mf.load_config(index_dir)
-        new_config["delta_batches"] = [{
+        tmp_config = mf.load_config(tmp)
+        tmp_config["delta_batches"] = [{
             "batch_id": "_compact." + hashlib.sha1(
                 "\x00".join(applied).encode("utf-8")).hexdigest()[:16],
             "merged": applied, "upserts_indexed": 0, "tombstoned": 0,
             "first_doc_id": None}]
-        mf.save_config(index_dir, new_config)
+        mf.save_config(tmp, tmp_config)
+
+    old = index_dir.rstrip("/") + ".precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(index_dir, old)
+    os.replace(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return {"n_docs": res["n_docs"], "seconds": time.time() - t0}

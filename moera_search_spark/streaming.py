@@ -137,8 +137,17 @@ def stream_updates(spark, index_dir: str, changelog_dir: str, *,
                 from . import manifest as mf
                 from .incremental import merge_segments
 
+                # count only UNMERGED batches: the synthetic
+                # '_merge.'/'_compact.' entries a past merge/compact
+                # collapsed the lineage into are already consolidated
+                # (counting them would fire a full re-merge of the
+                # whole accumulated delta after every micro-batch)
                 cfg = mf.load_config(index_dir)
-                if len(cfg.get("delta_batches", [])) >= merge_every:
+                n_unmerged = sum(
+                    1 for b in cfg.get("delta_batches", [])
+                    if not str(b["batch_id"]).startswith(
+                        ("_merge.", "_compact.")))
+                if n_unmerged >= merge_every:
                     merge_segments(spark, index_dir)
         finally:
             batch_df.unpersist()

@@ -161,14 +161,16 @@ class TestMergeWithDeletes:
     def test_equals_single_batch_index(self, menv):
         assert menv["b_post"] == menv["b_ref"]
 
-    def test_results_unchanged_for_live_docs(self, menv):
-        # tombstoned docs were already invisible pre-merge; the only
-        # allowed difference is df exactness for delta terms, which
-        # these queries' scores absorb — doc SETS must agree
-        for key in menv["b_pre"]:
-            assert ([d for d, _ in menv["b_post"][key]]
-                    == [d for d, _ in menv["b_pre"][key]]
-                    or menv["b_post"][key])  # non-empty sanity
+    def test_no_dead_or_out_of_range_doc_surfaces(self, spark, menv):
+        # post-merge hits must hydrate to live keys only — never a
+        # deleted conv, never a doc_id outside the re-densified range
+        idx = FTSIndex(spark, menv["b_dir"])
+        nxt = mf.load_config(menv["b_dir"])["next_doc_id"]
+        for q in QUERIES:
+            for r in idx.search(q, k=10, hydrate=True).collect():
+                assert int(r["doc_id"]) < nxt
+                assert not (DEL_LO <= r["conv_id"] < DEL_HI)
+                assert not (r["conv_id"] < BASE_DEL_HI)
 
     def test_delta_tombstones_reclaimed(self, spark, menv):
         tomb = spark.read.parquet(
@@ -282,6 +284,83 @@ class TestPositionalMerge:
         assert got == want and len(got) == 2
 
 
+class TestReservedPrefixes:
+    def test_user_batch_cannot_wear_merge_prefix(self, spark, menv,
+                                                 corpus_df):
+        with pytest.raises(ValueError, match="reserved prefix"):
+            apply_updates(spark, menv["a_dir"],
+                          upserts=corpus_df.limit(1),
+                          batch_id="_merge.nightly")
+        with pytest.raises(ValueError, match="reserved prefix"):
+            apply_updates(spark, menv["a_dir"],
+                          upserts=corpus_df.limit(1),
+                          batch_id="_compact.x")
+
+
+class TestDeleteOnlyConsolidation:
+    def test_tombstone_batches_collapse(self, spark, corpus_df,
+                                        tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("delonly") / "idx")
+        build_index(spark, corpus_df.filter(F.col("conv_id") < BASE_HI),
+                    d, n_buckets=2)
+        for i, conv in enumerate(["conv-00000003", "conv-00000004",
+                                  "conv-00000005"]):
+            dels = (corpus_df.filter(F.col("conv_id") == conv)
+                    .select("conv_id", "turn_idx"))
+            apply_updates(spark, d, deletes=dels, batch_id=f"del-{i}")
+        n_before = FTSIndex(spark, d).n_docs
+        tomb_files = os.listdir(os.path.join(d, incr.TOMBSTONES))
+        assert len([f for f in tomb_files if f.endswith(".parquet")]) == 3
+
+        res = merge_segments(spark, d)
+        assert not res["skipped"] and res["docs_merged"] == 0
+        cfg = mf.load_config(d)
+        assert len(cfg["delta_batches"]) == 1
+        assert set(cfg["delta_batches"][0]["merged"]) \
+            == {"del-0", "del-1", "del-2"}
+        tomb_files = [f for f in os.listdir(os.path.join(d, incr.TOMBSTONES))
+                      if f.endswith(".parquet")]
+        assert len(tomb_files) == 1   # consolidated
+        idx = FTSIndex(spark, d)
+        assert idx.n_docs == n_before
+        assert idx.live_docs.filter(
+            F.col("conv_id") == "conv-00000004").count() == 0
+        # nothing left to do
+        assert merge_segments(spark, d)["skipped"]
+
+
+class TestEmptyBasePlaceholders:
+    def test_merge_to_empty_and_back(self, spark, corpus_df,
+                                     tmp_path_factory):
+        """Empty standalone base → delta docs → delete them all →
+        merge (index must still open via token-named placeholders) →
+        new delta (adoption must drop the placeholder again)."""
+        d = str(tmp_path_factory.mktemp("emptybase") / "idx")
+        blank = (corpus_df.filter(F.col("conv_id") < "conv-00000005")
+                 .withColumn("text", F.lit("the of and")))  # stopwords only
+        build_index(spark, blank, d, n_buckets=2, allow_empty=True)
+
+        ups = corpus_df.filter((F.col("conv_id") >= "conv-00000005")
+                               & (F.col("conv_id") < "conv-00000008"))
+        apply_updates(spark, d, upserts=ups, batch_id="u1", n_buckets=2)
+        assert FTSIndex(spark, d).search("the system", k=5) is not None
+        apply_updates(spark, d,
+                      deletes=ups.select("conv_id", "turn_idx"),
+                      batch_id="d1")
+        res = merge_segments(spark, d)
+        assert not res["skipped"] and res["docs_merged"] == 0
+        idx = FTSIndex(spark, d)   # opens via placeholders
+        assert idx.search("the system", k=5).collect() == []
+
+        apply_updates(spark, d, upserts=ups, batch_id="u2", n_buckets=2)
+        hits = FTSIndex(spark, d).search("the system", k=5).collect()
+        assert hits
+        # the placeholder must be gone once real hive files exist
+        root_files = [f for f in os.listdir(os.path.join(d, "postings"))
+                      if f.endswith("-placeholder.parquet")]
+        assert root_files == []
+
+
 class TestStreamAutoMerge:
     def test_merge_every_policy(self, spark, corpus_df, tmp_path_factory):
         from moera_search_spark.streaming import stream_updates
@@ -316,6 +395,16 @@ class TestStreamAutoMerge:
         assert idx.n_docs == corpus_df.filter(
             F.col("conv_id") < "conv-00000030").count()
         assert idx.search("the system", k=5).collect()
+
+        # the synthetic merged entry must NOT count toward the policy:
+        # one more batch leaves [merged, new] unmerged-count 1 < 2
+        log("conv-00000030", "conv-00000035")
+        stream_updates(spark, idx_dir, changelog, checkpoint_dir=checkpoint,
+                       n_buckets=2, timeout_sec=300, merge_every=2)
+        cfg = mf.load_config(idx_dir)
+        assert len(cfg["delta_batches"]) == 2
+        assert str(cfg["delta_batches"][0]["batch_id"]).startswith("_merge.")
+        assert not str(cfg["delta_batches"][1]["batch_id"]).startswith("_merge.")
 
 
 class TestCompactCarriesLineage:
