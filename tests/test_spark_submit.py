@@ -83,3 +83,40 @@ class TestSparkSubmitDeployment:
                     for r in idx.search("spark query window",
                                         k=5).collect()]
         assert got == want
+
+    def test_update_merge_query_roundtrip(self, submit_env, spark):
+        """update --merge-every + the merge subcommand through the CLI.
+
+        Runs after the build test (module-ordered): appends an upsert
+        batch, lets --merge-every 1 consolidate it, runs a standalone
+        merge (must no-op gracefully), then asserts CLI query parity
+        with an in-process FTSIndex over the merged directory.
+        """
+        from pyspark.sql import functions as F
+
+        from moera_search_spark.fixtures import transcripts_df
+        from moera_search_spark.query import FTSIndex
+
+        root = submit_env["root"]
+        delta = transcripts_df(spark, 340) \
+            .filter(F.col("conv_id") >= "conv-00000030") \
+            .withColumn("op", F.lit("upsert"))
+        changelog = str(root / "changelog")
+        delta.write.mode("append").parquet(changelog)
+
+        res = _run(["update", "--changelog", changelog,
+                    "--index-dir", submit_env["index_dir"],
+                    "--checkpoint-dir", str(root / "ckpt"),
+                    "--merge-every", "1"])
+        assert res["status"] == "drained"
+
+        res = _run(["merge", "--index-dir", submit_env["index_dir"]])
+        assert res.get("skipped") is True          # already auto-merged
+
+        got = _run(["query", "--index-dir", submit_env["index_dir"],
+                    "--text", "spark query window", "--k", "5"])
+        with FTSIndex(spark, submit_env["index_dir"]) as idx:
+            want = [{"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in idx.search("spark query window",
+                                        k=5).collect()]
+        assert got == want

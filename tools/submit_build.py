@@ -11,8 +11,10 @@ multi-executor cluster"):
 
 Subcommands:
     build   — full (or resumed) index build from a transcripts table
-    update  — apply one change-log delta batch (parquet with op column)
-    compact — merge segments / drop tombstones
+    update  — apply one change-log delta batch (parquet with op column);
+              --merge-every N auto-consolidates as segments accumulate
+    merge   — tiered merge: consolidate delta segments (cost ∝ delta)
+    compact — forced full merge: rebuild from live docs, exact df
     query   — top-k BM25 from the CLI (smoke/latency checks)
 
 The driver config (master, executors, memory) comes from spark-submit;
@@ -51,6 +53,12 @@ def main(argv=None) -> int:
                    help="parquet dir: transcripts schema + op column")
     u.add_argument("--index-dir", required=True)
     u.add_argument("--checkpoint-dir", required=True)
+    u.add_argument("--merge-every", type=int, default=None,
+                   help="auto-run merge_segments when this many "
+                        "unmerged delta batches have accumulated")
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index-dir", required=True)
 
     c = sub.add_parser("compact")
     c.add_argument("--index-dir", required=True)
@@ -90,8 +98,13 @@ def main(argv=None) -> int:
         from moera_search_spark.streaming import stream_updates
 
         stream_updates(spark, args.index_dir, args.changelog,
-                       checkpoint_dir=args.checkpoint_dir)
+                       checkpoint_dir=args.checkpoint_dir,
+                       merge_every=args.merge_every)
         print(json.dumps({"status": "drained"}))
+    elif args.cmd == "merge":
+        from moera_search_spark.incremental import merge_segments
+
+        print(json.dumps(merge_segments(spark, args.index_dir)))
     elif args.cmd == "compact":
         from moera_search_spark.incremental import compact
 
