@@ -1021,14 +1021,58 @@ def build_index(spark, transcripts, index_dir: str, *, mode: str = "english",
         meta = spark.read.parquet(os.path.join(index_dir, "postings")) \
             .select("term_bucket", "term", "first_doc_id",
                     "last_doc_id", "max_tfnorm")
-        pcb = (meta.withColumn("pc", F.explode(F.sequence(
-                   (F.col("first_doc_id") / G).cast("long"),
-                   (F.col("last_doc_id") / G).cast("long"))))
-               .groupBy("term_bucket", "term", "pc")
-               .agg(F.max("max_tfnorm").alias("mtf")))
-        (pcb.repartition(n_term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "pc")
-            .write.mode("overwrite").partitionBy("term_bucket")
+        # ONE exchange of the COMPACT block-meta rows (≈ #blocks, vs
+        # ~33× more exploded (term, pc) pairs), keyed directly on the
+        # final physical layout: (term_bucket, term-hash split) lands
+        # EVERY block of a term in one partition, so the vectorized
+        # per-partition explode + max below is complete with no
+        # aggregation shuffle and the in-pandas (term, pc) sort feeds
+        # the row-group layout.  The previous plan (JVM
+        # sequence-explode → groupBy → repartition(n_term_buckets))
+        # shuffled the exploded pairs TWICE and funneled the final
+        # sort through n_term_buckets tasks, each sorting
+        # pc_rows/n_term_buckets — measured superlinear on the size
+        # curve (9.7M → 19.4M turns: 2.0× rows, 3.7× wall,
+        # BASELINE.md round 4); this shape moves ~30× fewer rows and
+        # its write parallelism matches the postings table's.
+        split = F.abs(F.hash("term")) % POSTINGS_FILES_PER_BUCKET
+
+        def _explode_agg(it):
+            import numpy as np
+            import pandas as pd
+            parts = [pdf for pdf in it if len(pdf)]
+            if not parts:
+                return
+            pdf = (pd.concat(parts, ignore_index=True)
+                   if len(parts) > 1 else parts[0])
+            lo = pdf["first_doc_id"].to_numpy(np.int64) // G
+            hi = pdf["last_doc_id"].to_numpy(np.int64) // G
+            n = hi - lo + 1
+            idx = np.repeat(np.arange(len(pdf), dtype=np.int64), n)
+            start = np.cumsum(n) - n
+            pc = lo[idx] + (np.arange(idx.size, dtype=np.int64)
+                            - start[idx])
+            out = pd.DataFrame(
+                {"term_bucket": pdf["term_bucket"].to_numpy()[idx],
+                 "term": pdf["term"].to_numpy()[idx],
+                 "pc": pc,
+                 "mtf": pdf["max_tfnorm"].to_numpy(np.float64)[idx]})
+            # (term, pc) is unique per partition after the max, so the
+            # sorted output rows are deterministic regardless of
+            # shuffle fetch order — build parallelism never changes
+            # the written bytes (same invariant as the postings table)
+            yield (out.groupby(["term_bucket", "term", "pc"],
+                               sort=False)["mtf"].max().reset_index()
+                   .sort_values(["term", "pc"], kind="stable"))
+
+        pcb = (meta.withColumn("_split", split)
+               .repartition(n_term_buckets * POSTINGS_FILES_PER_BUCKET,
+                            "term_bucket", "_split")
+               .drop("_split")
+               .mapInPandas(
+                   _explode_agg,
+                   "term_bucket int, term string, pc long, mtf double"))
+        (pcb.write.mode("overwrite").partitionBy("term_bucket")
             # point-read layout: the query path reads a few terms'
             # rows per query via a pyarrow predicate scan, so capped
             # term-sorted row groups turn that into a row-group-pruned
