@@ -433,6 +433,12 @@ class FTSIndex:
     # pay, so ``auto`` just routes to it.
     AUTO_PRUNE_MIN_DOCS = 2_000_000
 
+    # search_many pivot granularity: docs per dense (docs × |union|)
+    # block inside the doc-partition Arrow pass — bounds task memory
+    # at 8·BLOCK·|union| bytes no matter how large the match set is
+    # (class attr so tests can shrink it to cover the multi-block path)
+    SEARCH_MANY_DOC_BLOCK = 1 << 18
+
     def search(self, query_text: str, k: int = 10,
                filters: dict | None = None, method: str = "auto",
                hydrate: bool = False, page: int = 0):
@@ -1173,11 +1179,15 @@ class FTSIndex:
 
         Plan shape: union-term postings scan (term_bucket dir pruning
         over the union's buckets; pc-range block selection when
-        pruned) → one vectorized decode → ``_score``'s per-doc pivot
-        over the union terms (map-side partial agg) → per-PARTITION
-        per-query top-k in one Arrow pass — the kth-score cut happens
-        before any per-query shuffle, so no query funnels its full
-        match set through one task (the multi-query analogue of
+        pruned) → one vectorized decode → NARROW (doc_id, tid,
+        contrib) doc-hash shuffle (~20 B/row; a union-wide pivot
+        shuffle carried ~8·|union| bytes per doc-row and overtook the
+        shared-scan saving at 19.4M turns — 0.84× vs sequential) →
+        one Arrow pass per doc partition doing the dense pivot (in
+        bounded doc-blocks), per-query fold, and per-partition
+        per-query top-k — the kth-score cut happens before any
+        per-query shuffle, so no query funnels its full match set
+        through one task (the multi-query analogue of
         TakeOrderedAndProject's partial top-k) → exact per-query
         top-k over the ≤ partitions·Q·k survivors.  Per-query score
         folds run in the same sorted-term left-to-right order as
@@ -1299,29 +1309,60 @@ class FTSIndex:
             _decode_score_iter({t: idf[t] for t in union_terms},
                                self.avgdl, self.k1, self.b),
             DECODED_SCHEMA)
-        aggs = [F.sum(F.when(F.col("term") == t, F.col("contrib")))
-                .alias(f"_c{i}") for i, t in enumerate(union_terms)]
-        per_doc = decoded.groupBy("doc_id").agg(*aggs)
+        # NARROW doc-colocation shuffle (round 4): the earlier plan
+        # pivoted via groupBy(doc_id).agg(one column per UNION term) —
+        # with Q queries the union is ~Q× wider than any one query, so
+        # every shuffled doc-row carried ~8·|union| bytes of mostly-
+        # null pivot columns and decode partitions are term-major, so
+        # map-side partial agg collapsed almost nothing.  Measured at
+        # 19.4M turns this pivot shuffle overtook the shared-scan
+        # saving (0.84× vs sequential).  Instead shuffle the decoded
+        # rows themselves as (doc_id, tid:int, contrib) — ≈20 B/row,
+        # never more rows than the wide plan shuffled — and do the
+        # pivot + per-query fold + top-k in ONE Arrow pass per
+        # doc-hash partition.  Rows of one doc co-locate by the
+        # repartition; the dense (docs × union-terms) pivot is built
+        # in bounded doc-blocks so partition memory stays
+        # O(block · |union|) regardless of match-set size.
+        col_idx = {t: i for i, t in enumerate(union_terms)}
+        tid_map = F.create_map(*[x for t, i in col_idx.items()
+                                 for x in (F.lit(t), F.lit(i))])
+        narrow = decoded.select(
+            "doc_id", tid_map[F.col("term")].alias("tid"), "contrib")
         tomb = self.tombstones
         if tomb is not None:
-            per_doc = per_doc.join(tomb, "doc_id", "left_anti")
+            narrow = narrow.join(tomb, "doc_id", "left_anti")
         pred = self._filter_pred(filters)
         if pred is not None:
             allowed = self.docs.filter(pred).select("doc_id")
-            per_doc = per_doc.join(allowed, "doc_id", "left_semi")
+            narrow = narrow.join(allowed, "doc_id", "left_semi")
 
-        col_idx = {t: i for i, t in enumerate(union_terms)}
         q_cols = [[col_idx[t] for t in sorted(mq)] for mq in matched_q]
         ncols = len(union_terms)
+        DOC_BLOCK = self.SEARCH_MANY_DOC_BLOCK
 
         def part_topk(pdf_iter):
+            chunks = [p for p in pdf_iter if len(p)]
+            if not chunks:
+                return
+            big = pd.concat(chunks, ignore_index=True) \
+                if len(chunks) > 1 else chunks[0]
+            docs_all = big["doc_id"].to_numpy(np.int64)
+            tids_all = big["tid"].to_numpy(np.int64)
+            contrib_all = big["contrib"].to_numpy(np.float64)
+            # docs sorted+deduped; doc_idx maps each row to its doc
+            udocs, doc_idx = np.unique(docs_all, return_inverse=True)
             cand: list[list] = [[] for _ in q_cols]
-            for pdf in pdf_iter:
-                if len(pdf) == 0:
-                    continue
-                docs = pdf["doc_id"].values.astype(np.int64)
-                cols = pdf[[f"_c{i}" for i in range(ncols)]] \
-                    .to_numpy(dtype=np.float64)      # absent → NaN
+            for lo in range(0, len(udocs), DOC_BLOCK):
+                hi = min(lo + DOC_BLOCK, len(udocs))
+                sel = (doc_idx >= lo) & (doc_idx < hi)
+                docs = udocs[lo:hi]
+                # each (doc, term) decodes to exactly one row (same
+                # invariant _score's pivot states), so plain fancy
+                # assignment IS the pivot; absent stays NaN
+                cols = np.full((hi - lo, ncols), np.nan)
+                cols[doc_idx[sel] - lo, tids_all[sel]] = \
+                    contrib_all[sel]
                 for qi, idxs in enumerate(q_cols):
                     if not idxs:
                         continue
@@ -1358,7 +1399,7 @@ class FTSIndex:
                     "doc_id": np.concatenate(out_d),
                     "score": np.concatenate(out_s)})
 
-        cand = per_doc.mapInPandas(
+        cand = narrow.repartition("doc_id").mapInPandas(
             part_topk, "query_id int, doc_id long, score double")
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id"))

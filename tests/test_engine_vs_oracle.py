@@ -148,6 +148,27 @@ class TestSearchMany:
                                          method="exhaustive").collect()]
             assert by_q.get(qi, []) == single
 
+    def test_multi_block_pivot_matches_sequential(self, built_index):
+        """The doc-partition pivot walks the match set in
+        SEARCH_MANY_DOC_BLOCK-sized dense blocks; a tiny block size
+        forces many blocks per partition (the default 2^18 would never
+        split at test scale) and must not change a single bit."""
+        texts = [q["query_text"] for q in QUERIES]
+        built_index.SEARCH_MANY_DOC_BLOCK = 7
+        try:
+            got = built_index.search_many(texts, k=10).collect()
+        finally:
+            del built_index.SEARCH_MANY_DOC_BLOCK
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), float(r["score"])))
+        for qi, text in enumerate(texts):
+            single = [(int(r["doc_id"]), float(r["score"])) for r in
+                      built_index.search(text, k=10,
+                                         method="exhaustive").collect()]
+            assert by_q.get(qi, []) == single, f"query {qi}: {text!r}"
+
     def test_no_match_query_absent(self, built_index):
         got = built_index.search_many(
             ["spark shuffle partition", "zzzqqqxxyy nothing"],
