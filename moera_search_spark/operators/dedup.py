@@ -661,6 +661,11 @@ def connected_components(pairs, max_iters: int = 25):
             f"label propagation did not converge in {max_iters} rounds "
             "— component diameter exceeds the cap; raise max_iters or "
             "switch to large-star/small-star contraction")
+    # the RETURNED generation joins the one-generation cache too:
+    # eager release frees every superseded generation above, but the
+    # final checkpoint would otherwise sit in executor storage until
+    # driver GC — the next catalog invocation releases it instead
+    _LSH_PERSIST_CACHE.append(labels)
     return labels
 
 

@@ -434,9 +434,13 @@ class FTSIndex:
     AUTO_PRUNE_MIN_DOCS = 2_000_000
 
     # search_many pivot granularity: docs per dense (docs × |union|)
-    # block inside the doc-partition Arrow pass — bounds task memory
-    # at 8·BLOCK·|union| bytes no matter how large the match set is
-    # (class attr so tests can shrink it to cover the multi-block path)
+    # block inside the doc-partition Arrow pass — caps the DENSE PIVOT
+    # buffer at 8·BLOCK·|union| bytes.  The narrow row arrays
+    # themselves still scale with the partition's share of the match
+    # set (~20 B/row over matchset/shuffle_partitions rows — that IS
+    # the narrow-shuffle contract; size shuffle_partitions to the
+    # corpus).  Class attr so tests can shrink it to cover the
+    # multi-block path.
     SEARCH_MANY_DOC_BLOCK = 1 << 18
 
     def search(self, query_text: str, k: int = 10,
@@ -837,6 +841,11 @@ class FTSIndex:
                           order["pc"].head(seed_chunks).to_numpy())
         if not seed_pcs:
             return ("empty",)
+        # single-query callers pass no ctx — build the same shared
+        # handle set a batch uses, so ONE code path owns the dataset
+        # discovery and the TOMBSTONE_READ_MAX policy
+        if ctx is None:
+            ctx = self._seed_context()
         theta = self._driver_seed_theta(sorted(idf), idf, filters,
                                         seed_pcs, G, k, ctx=ctx)
         if theta is None:
@@ -852,7 +861,7 @@ class FTSIndex:
         return ("pruned", surviving, strict)
 
     def _driver_seed_theta(self, matched, idf, filters, seed_pcs,
-                           G: int, k: int, ctx=None):
+                           G: int, k: int, ctx: dict):
         """Exact θ (kth best true score among live, filter-passing
         docs whose own pc is a seed) computed entirely on the driver.
 
@@ -870,7 +879,6 @@ class FTSIndex:
         import pyarrow.dataset as pads
 
         from .build import term_bucket
-        from .incremental import TOMBSTONES
         from .postings import decode_blocks_batch, tfnorm
 
         intervals = self._pc_intervals(seed_pcs)
@@ -882,14 +890,9 @@ class FTSIndex:
                  & (pads.field("last_doc_id") >= lo * G))
             ov = p if ov is None else (ov | p)
         try:
-            if ctx is not None:
-                dset = ctx["dset"]     # shared batch handle
-                if dset is None:
-                    return None        # discovery failed once, for all
-            else:
-                dset = pads.dataset(
-                    os.path.join(self.index_dir, "postings"),
-                    partitioning="hive")
+            dset = ctx["dset"]         # shared handle (_seed_context)
+            if dset is None:
+                return None            # discovery failed once, for all
             tbl = dset.to_table(
                 filter=(pads.field("term").isin(matched)
                         & pads.field("term_bucket").isin(buckets) & ov),
@@ -913,30 +916,15 @@ class FTSIndex:
             doc_ids[own], contrib[own], terms_rep[own]
         if doc_ids.size == 0:
             return float("-inf")
-        # live-docs mask (tombstones), bounded driver read
-        if ctx is not None:
-            tomb = ctx["tomb"]         # read once for the whole batch
-            if isinstance(tomb, str):  # "oversized"
-                return None
-            if tomb is not None:
-                keep = ~np.isin(doc_ids, tomb)
-                doc_ids, contrib, terms_rep = \
-                    doc_ids[keep], contrib[keep], terms_rep[keep]
-        else:
-            tomb_dir = os.path.join(self.index_dir, TOMBSTONES)
-            if os.path.isdir(tomb_dir):
-                files = [os.path.join(tomb_dir, f)
-                         for f in os.listdir(tomb_dir)
-                         if f.endswith(".parquet")]
-                if sum(os.path.getsize(f) for f in files) \
-                        > self.TOMBSTONE_READ_MAX:
-                    return None
-                if files:
-                    tomb = pads.dataset(files).to_table(
-                        columns=["doc_id"])["doc_id"].to_numpy()
-                    keep = ~np.isin(doc_ids, tomb)
-                    doc_ids, contrib, terms_rep = \
-                        doc_ids[keep], contrib[keep], terms_rep[keep]
+        # live-docs mask (tombstones): read once per ctx, size-gated
+        # by _seed_context (the only copy of TOMBSTONE_READ_MAX)
+        tomb = ctx["tomb"]
+        if isinstance(tomb, str):      # "oversized"
+            return None
+        if tomb is not None:
+            keep = ~np.isin(doc_ids, tomb)
+            doc_ids, contrib, terms_rep = \
+                doc_ids[keep], contrib[keep], terms_rep[keep]
         if filters and doc_ids.size:
             allowed = self._driver_filter_docs(filters, intervals, G)
             if allowed is None:
@@ -1322,8 +1310,9 @@ class FTSIndex:
         # pivot + per-query fold + top-k in ONE Arrow pass per
         # doc-hash partition.  Rows of one doc co-locate by the
         # repartition; the dense (docs × union-terms) pivot is built
-        # in bounded doc-blocks so partition memory stays
-        # O(block · |union|) regardless of match-set size.
+        # in bounded doc-blocks so the pivot buffer stays
+        # O(block · |union|) — the narrow rows themselves are the
+        # partition's match-set share (see SEARCH_MANY_DOC_BLOCK).
         col_idx = {t: i for i, t in enumerate(union_terms)}
         tid_map = F.create_map(*[x for t, i in col_idx.items()
                                  for x in (F.lit(t), F.lit(i))])
@@ -1352,17 +1341,26 @@ class FTSIndex:
             contrib_all = big["contrib"].to_numpy(np.float64)
             # docs sorted+deduped; doc_idx maps each row to its doc
             udocs, doc_idx = np.unique(docs_all, return_inverse=True)
+            if len(udocs) > DOC_BLOCK:
+                # one O(rows log rows) sort lets every block slice a
+                # contiguous row range — a per-block boolean mask
+                # would re-scan all rows per block, O(rows · blocks)
+                order = np.argsort(doc_idx, kind="stable")
+                doc_idx = doc_idx[order]
+                tids_all = tids_all[order]
+                contrib_all = contrib_all[order]
             cand: list[list] = [[] for _ in q_cols]
             for lo in range(0, len(udocs), DOC_BLOCK):
                 hi = min(lo + DOC_BLOCK, len(udocs))
-                sel = (doc_idx >= lo) & (doc_idx < hi)
+                r0, r1 = np.searchsorted(doc_idx, (lo, hi)) \
+                    if len(udocs) > DOC_BLOCK else (0, len(doc_idx))
                 docs = udocs[lo:hi]
                 # each (doc, term) decodes to exactly one row (same
                 # invariant _score's pivot states), so plain fancy
                 # assignment IS the pivot; absent stays NaN
                 cols = np.full((hi - lo, ncols), np.nan)
-                cols[doc_idx[sel] - lo, tids_all[sel]] = \
-                    contrib_all[sel]
+                cols[doc_idx[r0:r1] - lo, tids_all[r0:r1]] = \
+                    contrib_all[r0:r1]
                 for qi, idxs in enumerate(q_cols):
                     if not idxs:
                         continue
