@@ -217,6 +217,7 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         qset = reference_query_set()
         # warm the query path once (python workers, parquet footers)
         idx.search(qset[0]["query_text"], k=10).collect()
+        seq_filtered = {}
         for method in ("exhaustive", "pruned"):
             lat = []
             for q in qset:
@@ -228,14 +229,14 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
                                method=method).collect()
                     best = time.time() - t0
                 lat.append(best)
+            seq_filtered[method] = sum(lat)
             out[f"p50_{method}_sec"] = round(statistics.median(lat), 3)
             out[f"p95_{method}_sec"] = round(
                 sorted(lat)[int(0.95 * (len(lat) - 1))], 3)
         # batched query-set serving (SURVEY §2.5 search_many): the
         # whole reference set answered by ONE job sharing a single
         # postings scan, vs the same texts served sequentially —
-        # both unfiltered so the two sides run identical per-query
-        # semantics (search_many takes one shared filter set).
+        # unfiltered (the rounds-1-4 continuity metric).
         texts = [q["query_text"] for q in qset]
         seqs = {}
         for meth in ("exhaustive", "pruned"):
@@ -262,6 +263,21 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         # its best single-query method (the sidecar pruned path)
         out["search_many_speedup_vs_pruned"] = round(
             seqs["pruned"] / warm, 2)
+        # the REAL serving shape (round 4): the reference set with
+        # each query's OWN k and filters as ONE batch, vs the p50
+        # legs' sequential filtered walls (same warm best-of-2)
+        filts = [q["filters"] for q in qset]
+        ks_q = [q["k"] for q in qset]
+        warm = None
+        for _attempt in range(2):              # 2nd run = warm latency
+            t0 = time.time()
+            idx.search_many(texts, k=ks_q, filters=filts).collect()
+            warm = time.time() - t0
+        out["search_many_qset_wall_sec"] = round(warm, 3)
+        out["search_many_qset_speedup"] = round(
+            seq_filtered["exhaustive"] / warm, 2)
+        out["search_many_qset_speedup_vs_pruned"] = round(
+            seq_filtered["pruned"] / warm, 2)
 
     if with_queries and tag in ("", "b"):
         # Tiered-merge leg (both engine legs): apply a FIXED-SIZE
@@ -485,6 +501,8 @@ def main() -> None:
         engine[f"local[{ENGINE_CPUS}]"].get("p50_pruned_sec")
     queries["engine_search_many_speedup"] = \
         engine[f"local[{ENGINE_CPUS}]"].get("search_many_speedup")
+    queries["engine_search_many_qset_speedup"] = \
+        engine[f"local[{ENGINE_CPUS}]"].get("search_many_qset_speedup")
     queries["engine_build_positions_sec"] = \
         engine[f"local[{ENGINE_CPUS}]"].get("build_positions_sec")
     queries["engine_query_p50_phrase"] = \

@@ -24,14 +24,19 @@ built once per process and shared between the two entries.
 The third query carries an out-of-vocabulary term (``zzzunseen``) so
 the missing-term path (engine drops it from ``matched_q``; the oracle's
 df CTE simply yields no row for it) is exercised under the hash gate.
+Round 4: each query carries its OWN k and filters (``MANY_KS`` /
+``MANY_FILTERS`` — the real serving shape); the filter attributes are
+deterministic functions of doc_id so the oracle states the identical
+predicate arithmetically, and the hash gate now verifies the per-doc
+fmask filter bits and per-query cuts cross-engine too.
 """
 
 from __future__ import annotations
 
 import tempfile
+from datetime import datetime
 
 from .fulltext import _TOKS_SQL
-from .incremental_ops import _docs_as_transcripts
 
 K = 10
 MANY_QUERIES = [
@@ -39,8 +44,49 @@ MANY_QUERIES = [
     "hash table scan",
     "stream batch zzzunseen",
 ]
+# Per-query k and FILTERS (round 4: the real serving shape — every
+# query of a set carries its own page size and visibility filters).
+# The filter attributes are deterministic functions of doc_id (below),
+# so the DuckDB oracle states the SAME predicate arithmetically.
+MANY_KS = [10, 5, 7]
+MANY_FILTERS = [
+    None,
+    {"role": "assistant"},                       # doc_id % 3 = 0
+    {"ts_min": datetime(2026, 1, 10),            # ts = base + (id%90)d
+     "ts_max": datetime(2026, 3, 1)},
+]
+# the matching DuckDB predicates, over tf.doc_id
+_FILTER_SQL = [
+    None,
+    "tf.doc_id % 3 = 0",
+    "(TIMESTAMP '2026-01-01 00:00:00'"
+    " + (tf.doc_id % 90) * INTERVAL 1 DAY)"
+    " BETWEEN TIMESTAMP '2026-01-10 00:00:00'"
+    " AND TIMESTAMP '2026-03-01 00:00:00'",
+]
 
 _IDX_CACHE: dict[str, str] = {}
+
+
+def _docs_with_attrs(spark, sf_dir):
+    """documents → transcripts schema with attr columns VARYING by
+    doc_id (deterministically, so the SQL oracle can reproduce the
+    filter predicates): role cycles user/assistant, tool is 'bash' on
+    every 5th doc, ts advances (doc_id % 90) days from a fixed base."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.format_string("conv-%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("assistant"))
+        .otherwise(F.lit("user")).alias("role"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("bash"))
+        .otherwise(F.lit(None).cast("string")).alias("tool"),
+        F.expr("timestamp '2026-01-01 00:00:00' + make_dt_interval("
+               "CAST(doc_id % 90 AS INT), 0, 0, 0)").alias("ts"),
+    )
 
 
 def _shared_index(spark, sf_dir):
@@ -52,20 +98,23 @@ def _shared_index(spark, sf_dir):
     idx_dir = _IDX_CACHE.get(sf_dir)
     if idx_dir is None:
         idx_dir = tempfile.mkdtemp(prefix="engine_srv_") + "/idx"
-        build_index(spark, _docs_as_transcripts(spark, sf_dir), idx_dir,
+        build_index(spark, _docs_with_attrs(spark, sf_dir), idx_dir,
                     mode="simple", n_buckets=4)
         _IDX_CACHE[sf_dir] = idx_dir
     return FTSIndex(spark, idx_dir)
 
 
 def fts_search_many(spark, sf_dir):
-    """Batched top-k over MANY_QUERIES: one shared postings scan, per-
-    partition per-query Arrow top-k, exact per-query cut — hydrated
-    back to external doc_ids via the docs sidecar (no collect)."""
+    """Batched top-k over MANY_QUERIES — each query with its OWN k
+    and filters: one shared postings scan, per-doc fmask filter bits,
+    per-partition per-query Arrow top-k, exact per-query cut —
+    hydrated back to external doc_ids via the docs sidecar (no
+    collect)."""
     from pyspark.sql import functions as F
 
     idx = _shared_index(spark, sf_dir)
-    hits = idx.search_many(MANY_QUERIES, k=K)
+    hits = idx.search_many(MANY_QUERIES, k=MANY_KS,
+                           filters=MANY_FILTERS)
     return (hits
             .join(idx.docs.select("doc_id", "conv_id"), "doc_id")
             .select("query_id",
@@ -79,6 +128,9 @@ def _search_many_sql():
     parts = []
     for qi, q in enumerate(MANY_QUERIES):
         terms = ", ".join(repr(t) for t in q.split())
+        # filters never score: df/idf/corpus stats stay corpus-wide,
+        # the predicate only gates which docs may place
+        where = f"WHERE {_FILTER_SQL[qi]}" if _FILTER_SQL[qi] else ""
         parts.append(f"""
     SELECT * FROM (
       WITH toks AS ({_TOKS_SQL}),
@@ -94,8 +146,9 @@ def _search_many_sql():
                                          + 0.75 * dl.dl / corpus.avgdl))
              ) * 1e6) AS BIGINT) AS score_e6
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+      {where}
       GROUP BY tf.doc_id
-      ORDER BY score_e6 DESC, tf.doc_id LIMIT {K})""")
+      ORDER BY score_e6 DESC, tf.doc_id LIMIT {MANY_KS[qi]})""")
     return "\n    UNION ALL".join(parts)
 
 

@@ -1126,8 +1126,10 @@ class FTSIndex:
         return (per_conv.orderBy(F.desc("score"), F.asc("conv_id"))
                 .limit(k))
 
-    def search_many(self, query_texts: list[str], k: int = 10,
-                    filters: dict | None = None, method: str = "auto"):
+    def search_many(self, query_texts: list[str],
+                    k: int | list[int] = 10,
+                    filters: dict | None | list = None,
+                    method: str = "auto"):
         """Batched top-k BM25: Q queries answered by ONE Spark job that
         shares a single postings scan + decode + per-doc pivot (the
         serving shape for the reference query SET — Q sequential
@@ -1136,7 +1138,18 @@ class FTSIndex:
         cheaper).  Returns (query_id, doc_id, score) where query_id is
         the position in ``query_texts``; each query's rows are rank-
         and bit-identical to ``search(..., method='exhaustive')`` with
-        the same shared ``filters``.
+        that query's ``k`` and ``filters``.
+
+        ``k`` and ``filters`` are per-query when given as lists (one
+        entry per query; ``None`` = unfiltered) — the real serving
+        shape, where every query of the set carries its own page size
+        and visibility filters.  Scalars broadcast to all queries.
+        Per-query filters ride the narrow shuffle as ONE extra int64
+        column: each distinct filter set becomes a bit of a per-doc
+        ``fmask`` computed in a single pass over the docs table (docs
+        passing no filter are dropped before the shuffle when every
+        query is filtered), and each query's candidate mask ANDs its
+        bit — filters never score, exactly as in ``search()``.
 
         ``method='pruned'`` (the ``'auto'`` pick when the build-time
         ``pc_bounds`` sidecar is present) batches the sidecar path
@@ -1184,6 +1197,19 @@ class FTSIndex:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
+        nq = len(query_texts)
+        ks = list(k) if isinstance(k, (list, tuple)) else [k] * nq
+        if len(ks) != nq:
+            raise ValueError(f"k list has {len(ks)} entries for "
+                             f"{nq} queries")
+        if isinstance(filters, (list, tuple)):
+            filt_q = list(filters)
+            if len(filt_q) != nq:
+                raise ValueError(f"filters list has {len(filt_q)} "
+                                 f"entries for {nq} queries")
+        else:
+            filt_q = [filters] * nq
+
         per_q = [self.query_terms(q) for q in query_texts]
         idf = self.idf_map(sorted({t for ts in per_q for t in ts}))
         matched_q = [[t for t in ts if t in idf] for ts in per_q]
@@ -1220,7 +1246,8 @@ class FTSIndex:
                     idf_q = {t: idf[t] for t in mq}
                     sub = pdf[pdf["term"].isin(mq)]
                     decision = self._sidecar_surviving(
-                        idf_q, filters, k, 32, G, sub, ctx=ctx)
+                        idf_q, filt_q[qi], ks[qi], 32, G, sub,
+                        ctx=ctx)
                     if decision[0] == "empty":
                         restrict[qi] = []
                         continue
@@ -1321,14 +1348,49 @@ class FTSIndex:
         tomb = self.tombstones
         if tomb is not None:
             narrow = narrow.join(tomb, "doc_id", "left_anti")
-        pred = self._filter_pred(filters)
-        if pred is not None:
-            allowed = self.docs.filter(pred).select("doc_id")
-            narrow = narrow.join(allowed, "doc_id", "left_semi")
+
+        # Per-query filters as a per-doc bitmask: each DISTINCT filter
+        # set is one bit, computed in a single expression pass over
+        # the docs table (no per-query join).  Query qi's candidate
+        # mask ANDs bit q_bit[qi]; docs passing no filter are pruned
+        # before the shuffle when every query is filtered.
+        preds = [self._filter_pred(f) for f in filt_q]
+        uniq_bits: dict[str, int] = {}
+        bit_preds: list = []
+        q_bit: list[int | None] = [None] * nq
+        for qi, (f, p) in enumerate(zip(filt_q, preds)):
+            if p is None:
+                continue
+            key = repr(sorted(f.items()))
+            j = uniq_bits.setdefault(key, len(bit_preds))
+            if j == len(bit_preds):
+                bit_preds.append(p)
+            q_bit[qi] = j
+        if len(bit_preds) > 62:
+            raise ValueError("more than 62 distinct filter sets in "
+                             "one batch — split the query set")
+        if bit_preds:
+            fmask_expr = None
+            for j, p in enumerate(bit_preds):
+                term_ = F.when(p, F.lit(1 << j)).otherwise(F.lit(0))
+                fmask_expr = term_ if fmask_expr is None \
+                    else fmask_expr + term_     # bits disjoint
+            mask_df = (self.docs
+                       .select("doc_id",
+                               fmask_expr.cast("long").alias("fmask"))
+                       .filter(F.col("fmask") > 0))
+            if all(p is not None for p in preds):
+                narrow = narrow.join(mask_df, "doc_id", "inner")
+            else:
+                narrow = (narrow.join(mask_df, "doc_id", "left")
+                          .select("doc_id", "tid", "contrib",
+                                  F.coalesce("fmask", F.lit(0))
+                                  .alias("fmask")))
 
         q_cols = [[col_idx[t] for t in sorted(mq)] for mq in matched_q]
         ncols = len(union_terms)
         DOC_BLOCK = self.SEARCH_MANY_DOC_BLOCK
+        has_fmask = bool(bit_preds)
 
         def part_topk(pdf_iter):
             chunks = [p for p in pdf_iter if len(p)]
@@ -1339,6 +1401,8 @@ class FTSIndex:
             docs_all = big["doc_id"].to_numpy(np.int64)
             tids_all = big["tid"].to_numpy(np.int64)
             contrib_all = big["contrib"].to_numpy(np.float64)
+            fmask_all = big["fmask"].to_numpy(np.int64) \
+                if has_fmask else None
             # docs sorted+deduped; doc_idx maps each row to its doc
             udocs, doc_idx = np.unique(docs_all, return_inverse=True)
             if len(udocs) > DOC_BLOCK:
@@ -1349,6 +1413,8 @@ class FTSIndex:
                 doc_idx = doc_idx[order]
                 tids_all = tids_all[order]
                 contrib_all = contrib_all[order]
+                if fmask_all is not None:
+                    fmask_all = fmask_all[order]
             cand: list[list] = [[] for _ in q_cols]
             for lo in range(0, len(udocs), DOC_BLOCK):
                 hi = min(lo + DOC_BLOCK, len(udocs))
@@ -1361,11 +1427,20 @@ class FTSIndex:
                 cols = np.full((hi - lo, ncols), np.nan)
                 cols[doc_idx[r0:r1] - lo, tids_all[r0:r1]] = \
                     contrib_all[r0:r1]
+                if fmask_all is not None:
+                    # fmask is per-doc (every row of a doc carries the
+                    # same value) — scatter once per block
+                    fm = np.zeros(hi - lo, np.int64)
+                    fm[doc_idx[r0:r1] - lo] = fmask_all[r0:r1]
                 for qi, idxs in enumerate(q_cols):
                     if not idxs:
                         continue
                     sub = cols[:, idxs]
                     hit = ~np.all(np.isnan(sub), axis=1)
+                    if q_bit[qi] is not None:
+                        # this query's filter bit (filters never
+                        # score — a pure candidate mask)
+                        hit &= (fm & (1 << q_bit[qi])) != 0
                     if restrict_pcs is not None \
                             and qi in restrict_pcs:
                         # strict-regime (negative-idf) query: only
@@ -1379,7 +1454,7 @@ class FTSIndex:
                     for j in range(sub.shape[1]):
                         s = s + np.nan_to_num(sub[hit, j], nan=0.0)
                     d = docs[hit]
-                    top = np.lexsort((d, -s))[:k]
+                    top = np.lexsort((d, -s))[:ks[qi]]
                     cand[qi].append((d[top], s[top]))
             out_q, out_d, out_s = [], [], []
             for qi, parts in enumerate(cand):
@@ -1387,7 +1462,7 @@ class FTSIndex:
                     continue
                 d = np.concatenate([p[0] for p in parts])
                 s = np.concatenate([p[1] for p in parts])
-                top = np.lexsort((d, -s))[:k]
+                top = np.lexsort((d, -s))[:ks[qi]]
                 out_q.append(np.full(len(top), qi, dtype=np.int32))
                 out_d.append(d[top])
                 out_s.append(s[top])
@@ -1399,10 +1474,13 @@ class FTSIndex:
 
         cand = narrow.repartition("doc_id").mapInPandas(
             part_topk, "query_id int, doc_id long, score double")
+        k_map = F.create_map(*[x for qi, kq in enumerate(ks)
+                               for x in (F.lit(qi), F.lit(kq))])
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id"))
         return (cand.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= k).drop("_rn")
+                .filter(F.col("_rn") <= k_map[F.col("query_id")])
+                .drop("_rn")
                 .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
 
     def match_count(self, query_text: str,

@@ -169,6 +169,37 @@ class TestSearchMany:
                                          method="exhaustive").collect()]
             assert by_q.get(qi, []) == single, f"query {qi}: {text!r}"
 
+    def test_per_query_filters_and_k(self, built_index):
+        """The whole REFERENCE set — each query with its OWN filters
+        and its own k — served by one batched job; every query's rows
+        must be rank- and bit-identical to sequential search() with
+        that query's filters/k.  (Before round 4 search_many took one
+        shared filter set, so the reference set could only be batched
+        unfiltered.)"""
+        texts = [q["query_text"] for q in QUERIES]
+        filts = [q["filters"] for q in QUERIES]
+        ks = [(3 + qi % 5) for qi in range(len(QUERIES))]
+        got = built_index.search_many(texts, k=ks,
+                                      filters=filts).collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), float(r["score"])))
+        for qi, q in enumerate(QUERIES):
+            single = [(int(r["doc_id"]), float(r["score"])) for r in
+                      built_index.search(q["query_text"], k=ks[qi],
+                                         filters=q["filters"],
+                                         method="exhaustive").collect()]
+            assert by_q.get(qi, []) == single, \
+                f"query {qi}: {q['query_id']}"
+
+    def test_per_query_list_length_validation(self, built_index):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            built_index.search_many(["a", "b"], k=[5])
+        with _pytest.raises(ValueError):
+            built_index.search_many(["a", "b"], filters=[None])
+
     def test_no_match_query_absent(self, built_index):
         got = built_index.search_many(
             ["spark shuffle partition", "zzzqqqxxyy nothing"],
@@ -225,6 +256,25 @@ class TestSearchManyPruned:
         texts = ["spark shuffle partition", "data table join"]
         self._assert_matches_sequential(forced, texts, k=5,
                                         filters={"role": "user"})
+
+    def test_forced_pruned_with_per_query_filters(self, forced):
+        """Per-query filters through the batched SIDECAR path: each
+        query's θ seed folds under its own filters, and the fmask
+        candidate bits compose with per-query pc restriction."""
+        sub = [q for q in QUERIES if q["query_text"]
+               != "zzzzunknownterm"]
+        texts = [q["query_text"] for q in sub]
+        filts = [q["filters"] for q in sub]
+        ks = [(2 + qi % 4) for qi in range(len(sub))]
+        got = self._by_query(
+            forced.search_many(texts, k=ks, filters=filts,
+                               method="pruned").collect())
+        for qi, q in enumerate(sub):
+            single = [(int(r["doc_id"]), float(r["score"])) for r in
+                      forced.search(q["query_text"], k=ks[qi],
+                                    filters=q["filters"],
+                                    method="exhaustive").collect()]
+            assert got.get(qi, []) == single, (qi, q["query_id"])
 
     def test_decision_branch_is_pruned(self, forced):
         """The forced batch must actually take the per-query
