@@ -157,12 +157,13 @@ FTS_SEARCH_MANY_SQL = _search_many_sql()
 
 def fts_match_count(spark, sf_dir):
     """Total-hits per query (match-any semantics: docs containing ≥1
-    indexed query term).  Each ``match_count`` call is the engine's
-    count path — postings scan + decode + per-doc pivot + count, no
-    scoring shuffle beyond the pivot."""
+    indexed query term) — since late round 4 served BATCHED by
+    ``match_count_many``: ONE job (term→query bitmask, ``bit_or``
+    doc rollup, scalar reduce) counts the whole set, where the
+    previous version ran one ``match_count`` action per query and
+    collected driver-side."""
     idx = _shared_index(spark, sf_dir)
-    rows = [(qi, idx.match_count(q)) for qi, q in enumerate(MANY_QUERIES)]
-    return spark.createDataFrame(rows, "query_id int, n_matches long")
+    return idx.match_count_many(MANY_QUERIES)
 
 
 def _match_count_sql():

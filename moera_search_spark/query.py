@@ -1495,3 +1495,108 @@ class FTSIndex:
             return 0
         scored = self._score(self._postings_for(matched), idf, filters)
         return scored.count()
+
+    def match_count_many(self, query_texts: list[str],
+                         filters: dict | None | list = None):
+        """Batched total-hits: one job counts every query of the set
+        (the count-first short-circuit the reference serves with each
+        page, SearchNodesController.java:252-257, over a query SET).
+        Returns (query_id, n_matches) with a row for EVERY query —
+        0 for no-match queries — equal per query to ``match_count``
+        with that query's ``filters`` (scalar broadcasts; list is
+        per-query like ``search_many``).
+
+        Entirely JVM-side — no Arrow pass after the decode: each
+        union term maps to a bitmask of the queries containing it
+        (``create_map``, ≤62 queries per batch), docs fold their
+        term-bitmasks with ``bit_or`` under one doc-hash partial agg
+        (narrow rows: doc_id + one long), per-query filter bits come
+        from the same one-pass ``fmask`` scheme as ``search_many``,
+        and one final map-side-combined aggregate emits every count —
+        a query set over a 10^12-doc corpus costs one postings scan +
+        one doc-rollup shuffle + one scalar reduce, regardless of Q."""
+        from pyspark.sql import functions as F
+
+        nq = len(query_texts)
+        if nq > 62:
+            raise ValueError("more than 62 queries per count batch — "
+                             "split the query set")
+        if isinstance(filters, (list, tuple)):
+            filt_q = list(filters)
+            if len(filt_q) != nq:
+                raise ValueError(f"filters list has {len(filt_q)} "
+                                 f"entries for {nq} queries")
+        else:
+            filt_q = [filters] * nq
+
+        per_q = [self.query_terms(q) for q in query_texts]
+        idf = self.idf_map(sorted({t for ts in per_q for t in ts}))
+        matched_q = [[t for t in ts if t in idf] for ts in per_q]
+        union_terms = sorted({t for ts in matched_q for t in ts})
+        zero_rows = self.spark.createDataFrame(
+            [(qi, 0) for qi in range(nq)],
+            "query_id int, n_matches long")
+        if not union_terms:
+            return zero_rows
+
+        term_qmask = {t: 0 for t in union_terms}
+        for qi, mq in enumerate(matched_q):
+            for t in mq:
+                term_qmask[t] |= 1 << qi
+        qmask_map = F.create_map(*[x for t, m in term_qmask.items()
+                                   for x in (F.lit(t), F.lit(m))])
+        decoded = self._postings_for(union_terms).mapInPandas(
+            _decode_score_iter({t: idf[t] for t in union_terms},
+                               self.avgdl, self.k1, self.b),
+            DECODED_SCHEMA)
+        rows = decoded.select(
+            "doc_id", qmask_map[F.col("term")].alias("qm"))
+        tomb = self.tombstones
+        if tomb is not None:
+            rows = rows.join(tomb, "doc_id", "left_anti")
+        per_doc = rows.groupBy("doc_id").agg(F.bit_or("qm").alias("qm"))
+
+        # per-doc filter bits (same one-pass scheme as search_many)
+        preds = [self._filter_pred(f) for f in filt_q]
+        uniq_bits: dict[str, int] = {}
+        bit_preds: list = []
+        q_bit: list[int | None] = [None] * nq
+        for qi, (f, p) in enumerate(zip(filt_q, preds)):
+            if p is None:
+                continue
+            key = repr(sorted(f.items()))
+            j = uniq_bits.setdefault(key, len(bit_preds))
+            if j == len(bit_preds):
+                bit_preds.append(p)
+            q_bit[qi] = j
+        if bit_preds:
+            fmask_expr = None
+            for j, p in enumerate(bit_preds):
+                term_ = F.when(p, F.lit(1 << j)).otherwise(F.lit(0))
+                fmask_expr = term_ if fmask_expr is None \
+                    else fmask_expr + term_
+            mask_df = (self.docs
+                       .select("doc_id",
+                               fmask_expr.cast("long").alias("fmask"))
+                       .filter(F.col("fmask") > 0))
+            how = "inner" if all(p is not None for p in preds) \
+                else "left"
+            per_doc = per_doc.join(mask_df, "doc_id", how)
+            if how == "left":
+                per_doc = per_doc.select(
+                    "doc_id", "qm",
+                    F.coalesce("fmask", F.lit(0)).alias("fmask"))
+
+        aggs = []
+        for qi in range(nq):
+            hit = F.shiftright(F.col("qm"), qi).bitwiseAND(F.lit(1))
+            if q_bit[qi] is not None:
+                ok = (F.shiftright(F.col("fmask"), q_bit[qi])
+                      .bitwiseAND(F.lit(1)))
+                hit = hit * ok
+            aggs.append(F.coalesce(F.sum(hit), F.lit(0))
+                        .cast("long").alias(f"_n{qi}"))
+        one = per_doc.agg(*aggs)
+        stack = ", ".join(f"{qi}, _n{qi}" for qi in range(nq))
+        return one.select(F.expr(
+            f"stack({nq}, {stack}) as (query_id, n_matches)"))

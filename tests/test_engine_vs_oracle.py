@@ -212,6 +212,36 @@ class TestSearchMany:
             .count() == 0
 
 
+class TestMatchCountMany:
+    """Batched total-hits: one JVM-side job (term→query bitmask,
+    bit_or doc rollup, fmask filter bits) must equal per-query
+    ``match_count`` for every query of the set, including no-match
+    queries (counted 0, never absent)."""
+
+    def test_matches_sequential_with_filters(self, built_index):
+        texts = [q["query_text"] for q in QUERIES]
+        filts = [q["filters"] for q in QUERIES]
+        got = {int(r["query_id"]): int(r["n_matches"]) for r in
+               built_index.match_count_many(texts,
+                                            filters=filts).collect()}
+        assert set(got) == set(range(len(texts)))
+        for qi, q in enumerate(QUERIES):
+            assert got[qi] == built_index.match_count(
+                q["query_text"], filters=q["filters"]), q["query_id"]
+
+    def test_unfiltered_and_absent(self, built_index):
+        texts = ["spark shuffle partition", "zzzqqqxxyy"]
+        got = {int(r["query_id"]): int(r["n_matches"]) for r in
+               built_index.match_count_many(texts).collect()}
+        assert got[1] == 0
+        assert got[0] == built_index.match_count(texts[0])
+
+    def test_all_unmatched_still_rows(self, built_index):
+        got = {int(r["query_id"]): int(r["n_matches"]) for r in
+               built_index.match_count_many(["zzzqqqxxyy"]).collect()}
+        assert got == {0: 0}
+
+
 class TestSearchManyPruned:
     """Batched sidecar pruning (``search_many(method='pruned')``):
     per-query θ + surviving sets from the shared ``pc_bounds`` read,
