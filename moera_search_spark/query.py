@@ -1129,7 +1129,7 @@ class FTSIndex:
     def search_many(self, query_texts: list[str],
                     k: int | list[int] = 10,
                     filters: dict | None | list = None,
-                    method: str = "auto"):
+                    method: str = "auto", hydrate: bool = False):
         """Batched top-k BM25: Q queries answered by ONE Spark job that
         shares a single postings scan + decode + per-doc pivot (the
         serving shape for the reference query SET — Q sequential
@@ -1478,10 +1478,18 @@ class FTSIndex:
                                for x in (F.lit(qi), F.lit(kq))])
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id"))
-        return (cand.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= k_map[F.col("query_id")])
-                .drop("_rn")
-                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+        result = (cand.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= k_map[F.col("query_id")])
+                  .drop("_rn")
+                  .orderBy("query_id", F.desc("score"),
+                           F.asc("doc_id")))
+        if hydrate:
+            # ≤ Σ k_q rows — broadcast to the docs scan, exactly the
+            # single-query hydrate join (fetch-ids-then-hydrate)
+            result = (self.docs.join(F.broadcast(result), "doc_id")
+                      .orderBy("query_id", F.desc("score"),
+                               F.asc("doc_id")))
+        return result
 
     def match_count(self, query_text: str,
                     filters: dict | None = None) -> int:

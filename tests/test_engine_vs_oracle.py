@@ -193,6 +193,20 @@ class TestSearchMany:
             assert by_q.get(qi, []) == single, \
                 f"query {qi}: {q['query_id']}"
 
+    def test_hydrate(self, built_index):
+        """hydrate=True returns full doc rows per (query_id, hit),
+        same ranking, same scores — the controller-style payload."""
+        texts = ["spark shuffle partition", "data table join"]
+        rows = built_index.search_many(texts, k=3,
+                                       hydrate=True).collect()
+        assert {"conv_id", "turn_idx", "text", "score",
+                "query_id"} <= set(rows[0].asDict())
+        flat = built_index.search_many(texts, k=3).collect()
+        assert [(int(r["query_id"]), int(r["doc_id"]),
+                 float(r["score"])) for r in rows] == \
+            [(int(r["query_id"]), int(r["doc_id"]),
+              float(r["score"])) for r in flat]
+
     def test_per_query_list_length_validation(self, built_index):
         import pytest as _pytest
         with _pytest.raises(ValueError):
