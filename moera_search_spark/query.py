@@ -1129,7 +1129,8 @@ class FTSIndex:
     def search_many(self, query_texts: list[str],
                     k: int | list[int] = 10,
                     filters: dict | None | list = None,
-                    method: str = "auto", hydrate: bool = False):
+                    method: str = "auto", hydrate: bool = False,
+                    page: int | list[int] = 0):
         """Batched top-k BM25: Q queries answered by ONE Spark job that
         shares a single postings scan + decode + per-doc pivot (the
         serving shape for the reference query SET — Q sequential
@@ -1140,10 +1141,13 @@ class FTSIndex:
         and bit-identical to ``search(..., method='exhaustive')`` with
         that query's ``k`` and ``filters``.
 
-        ``k`` and ``filters`` are per-query when given as lists (one
-        entry per query; ``None`` = unfiltered) — the real serving
-        shape, where every query of the set carries its own page size
-        and visibility filters.  Scalars broadcast to all queries.
+        ``k``, ``filters`` and ``page`` are per-query when given as
+        lists (one entry per query; ``None`` = unfiltered) — the real
+        serving shape, where every query of the set carries its own
+        page, page size and visibility filters.  Scalars broadcast to
+        all queries.  ``page`` is the reference's from/size
+        pagination exactly as in ``search()``: rank the top
+        (page+1)·k per query, slice that query's last k.
         Per-query filters ride the narrow shuffle as ONE extra int64
         column: each distinct filter set becomes a bit of a per-doc
         ``fmask`` computed in a single pass over the docs table (docs
@@ -1209,6 +1213,14 @@ class FTSIndex:
                                  f"entries for {nq} queries")
         else:
             filt_q = [filters] * nq
+        pages = list(page) if isinstance(page, (list, tuple)) \
+            else [page] * nq
+        if len(pages) != nq:
+            raise ValueError(f"page list has {len(pages)} entries "
+                             f"for {nq} queries")
+        # from/size pagination: rank the top (page+1)·k per query
+        # and slice the last k — the single-query depth rule
+        depths = [(p + 1) * kq for p, kq in zip(pages, ks)]
 
         per_q = [self.query_terms(q) for q in query_texts]
         idf = self.idf_map(sorted({t for ts in per_q for t in ts}))
@@ -1246,7 +1258,7 @@ class FTSIndex:
                     idf_q = {t: idf[t] for t in mq}
                     sub = pdf[pdf["term"].isin(mq)]
                     decision = self._sidecar_surviving(
-                        idf_q, filt_q[qi], ks[qi], 32, G, sub,
+                        idf_q, filt_q[qi], depths[qi], 32, G, sub,
                         ctx=ctx)
                     if decision[0] == "empty":
                         restrict[qi] = []
@@ -1454,7 +1466,7 @@ class FTSIndex:
                     for j in range(sub.shape[1]):
                         s = s + np.nan_to_num(sub[hit, j], nan=0.0)
                     d = docs[hit]
-                    top = np.lexsort((d, -s))[:ks[qi]]
+                    top = np.lexsort((d, -s))[:depths[qi]]
                     cand[qi].append((d[top], s[top]))
             out_q, out_d, out_s = [], [], []
             for qi, parts in enumerate(cand):
@@ -1462,7 +1474,7 @@ class FTSIndex:
                     continue
                 d = np.concatenate([p[0] for p in parts])
                 s = np.concatenate([p[1] for p in parts])
-                top = np.lexsort((d, -s))[:ks[qi]]
+                top = np.lexsort((d, -s))[:depths[qi]]
                 out_q.append(np.full(len(top), qi, dtype=np.int32))
                 out_d.append(d[top])
                 out_s.append(s[top])
@@ -1474,12 +1486,17 @@ class FTSIndex:
 
         cand = narrow.repartition("doc_id").mapInPandas(
             part_topk, "query_id int, doc_id long, score double")
-        k_map = F.create_map(*[x for qi, kq in enumerate(ks)
-                               for x in (F.lit(qi), F.lit(kq))])
+        depth_map = F.create_map(*[x for qi, d in enumerate(depths)
+                                   for x in (F.lit(qi), F.lit(d))])
+        from_map = F.create_map(*[
+            x for qi, (p, kq) in enumerate(zip(pages, ks))
+            for x in (F.lit(qi), F.lit(p * kq))])
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id"))
+        qid = F.col("query_id")
         result = (cand.withColumn("_rn", F.row_number().over(w))
-                  .filter(F.col("_rn") <= k_map[F.col("query_id")])
+                  .filter((F.col("_rn") > from_map[qid])
+                          & (F.col("_rn") <= depth_map[qid]))
                   .drop("_rn")
                   .orderBy("query_id", F.desc("score"),
                            F.asc("doc_id")))

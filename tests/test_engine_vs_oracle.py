@@ -193,6 +193,32 @@ class TestSearchMany:
             assert by_q.get(qi, []) == single, \
                 f"query {qi}: {q['query_id']}"
 
+    def test_per_query_pages(self, built_index):
+        """from/size pagination per query: page p of query q must be
+        bit-identical to search(..., page=p) — including a mixed
+        batch where each query requests a different page."""
+        texts = ["spark shuffle partition", "data table join",
+                 "the system"]
+        pgs = [0, 1, 2]
+        got = built_index.search_many(texts, k=4, page=pgs).collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), float(r["score"])))
+        for qi, text in enumerate(texts):
+            single = [(int(r["doc_id"]), float(r["score"])) for r in
+                      built_index.search(text, k=4, page=pgs[qi],
+                                         method="exhaustive").collect()]
+            assert by_q.get(qi, []) == single, f"query {qi} page {pgs[qi]}"
+        # pages partition the ranking: page 0+1 of one query == top 8
+        two = built_index.search_many([texts[0]] * 2, k=4,
+                                      page=[0, 1]).collect()
+        seq = [(int(r["doc_id"]), float(r["score"])) for r in two]
+        top8 = [(int(r["doc_id"]), float(r["score"])) for r in
+                built_index.search(texts[0], k=8,
+                                   method="exhaustive").collect()]
+        assert seq == top8
+
     def test_hydrate(self, built_index):
         """hydrate=True returns full doc rows per (query_id, hit),
         same ranking, same scores — the controller-style payload."""
