@@ -38,7 +38,6 @@ from datetime import datetime
 
 from .fulltext import _TOKS_SQL
 
-K = 10
 MANY_QUERIES = [
     "spark join window",
     "hash table scan",
