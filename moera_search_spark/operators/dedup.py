@@ -661,11 +661,15 @@ def connected_components(pairs, max_iters: int = 25):
             f"label propagation did not converge in {max_iters} rounds "
             "— component diameter exceeds the cap; raise max_iters or "
             "switch to large-star/small-star contraction")
-    # the RETURNED generation joins the one-generation cache too:
-    # eager release frees every superseded generation above, but the
-    # final checkpoint would otherwise sit in executor storage until
-    # driver GC — the next catalog invocation releases it instead
-    _LSH_PERSIST_CACHE.append(labels)
+    # The RETURNED generation must NOT join the eager-release cache:
+    # unlike the persist()-ed edges/base/cand (unpersist → recompute),
+    # a localCheckpoint TRUNCATES lineage, so releasing its blocks
+    # while a caller still holds the DataFrame makes any later action
+    # on it fail unrecoverably ("checkpoint block not found").  It is
+    # freed by the ContextCleaner once the caller drops the reference
+    # — the standard contract for returned cached data; superseded
+    # generations (never visible to callers) were released eagerly
+    # above.
     return labels
 
 

@@ -1126,6 +1126,48 @@ class FTSIndex:
         return (per_conv.orderBy(F.desc("score"), F.asc("conv_id"))
                 .limit(k))
 
+    def _fmask_plan(self, filt_q):
+        """Per-query filters → one per-doc bitmask plan, shared by
+        ``search_many`` and ``match_count_many``: each DISTINCT
+        filter set becomes one bit computed in a single expression
+        pass over the docs table (never one join per query).
+
+        Returns ``(q_bit, mask_df, all_filtered)``: ``q_bit[qi]`` is
+        query qi's bit index (None = unfiltered), ``mask_df`` a
+        (doc_id, fmask) DataFrame holding only docs that pass ≥1
+        filter (None when no query is filtered), and ``all_filtered``
+        whether every query carries a filter (callers may then
+        inner-join, pruning no-filter docs before any shuffle)."""
+        from pyspark.sql import functions as F
+
+        preds = [self._filter_pred(f) for f in filt_q]
+        uniq_bits: dict[str, int] = {}
+        bit_preds: list = []
+        q_bit: list[int | None] = [None] * len(filt_q)
+        for qi, (f, p) in enumerate(zip(filt_q, preds)):
+            if p is None:
+                continue
+            key = repr(sorted(f.items()))
+            j = uniq_bits.setdefault(key, len(bit_preds))
+            if j == len(bit_preds):
+                bit_preds.append(p)
+            q_bit[qi] = j
+        if len(bit_preds) > 62:
+            raise ValueError("more than 62 distinct filter sets in "
+                             "one batch — split the query set")
+        if not bit_preds:
+            return q_bit, None, False
+        fmask_expr = None
+        for j, p in enumerate(bit_preds):
+            term_ = F.when(p, F.lit(1 << j)).otherwise(F.lit(0))
+            fmask_expr = term_ if fmask_expr is None \
+                else fmask_expr + term_     # bits disjoint
+        mask_df = (self.docs
+                   .select("doc_id",
+                           fmask_expr.cast("long").alias("fmask"))
+                   .filter(F.col("fmask") > 0))
+        return q_bit, mask_df, all(p is not None for p in preds)
+
     def search_many(self, query_texts: list[str],
                     k: int | list[int] = 10,
                     filters: dict | None | list = None,
@@ -1222,6 +1264,17 @@ class FTSIndex:
         # and slice the last k — the single-query depth rule
         depths = [(p + 1) * kq for p, kq in zip(pages, ks)]
 
+        def _hydrated(result):
+            if not hydrate:
+                return result
+            # ≤ Σ k_q rows — broadcast to the docs scan, exactly the
+            # single-query hydrate join (fetch-ids-then-hydrate);
+            # applied to EVERY return so the all-OOV / all-empty
+            # early exits keep the hydrated schema too
+            return (self.docs.join(F.broadcast(result), "doc_id")
+                    .orderBy("query_id", F.desc("score"),
+                             F.asc("doc_id")))
+
         per_q = [self.query_terms(q) for q in query_texts]
         idf = self.idf_map(sorted({t for ts in per_q for t in ts}))
         matched_q = [[t for t in ts if t in idf] for ts in per_q]
@@ -1229,7 +1282,7 @@ class FTSIndex:
         empty = self.spark.createDataFrame(
             [], "query_id int, doc_id long, score double")
         if not union_terms:
-            return empty
+            return _hydrated(empty)
         if method == "auto":
             # batched pruning needs the sidecar (there is no batched
             # dynamic-bounds plan); without it, exhaustive IS the
@@ -1278,7 +1331,8 @@ class FTSIndex:
                         if strict:
                             restrict[qi] = surviving
                 if not any_matched and restrict:
-                    return empty        # every query matched nothing
+                    # every query matched nothing
+                    return _hydrated(empty)
                 # a term any unprunable query needs stays full-scan
                 for t in full_terms:
                     term_pcs.pop(t, None)
@@ -1361,37 +1415,13 @@ class FTSIndex:
         if tomb is not None:
             narrow = narrow.join(tomb, "doc_id", "left_anti")
 
-        # Per-query filters as a per-doc bitmask: each DISTINCT filter
-        # set is one bit, computed in a single expression pass over
-        # the docs table (no per-query join).  Query qi's candidate
-        # mask ANDs bit q_bit[qi]; docs passing no filter are pruned
-        # before the shuffle when every query is filtered.
-        preds = [self._filter_pred(f) for f in filt_q]
-        uniq_bits: dict[str, int] = {}
-        bit_preds: list = []
-        q_bit: list[int | None] = [None] * nq
-        for qi, (f, p) in enumerate(zip(filt_q, preds)):
-            if p is None:
-                continue
-            key = repr(sorted(f.items()))
-            j = uniq_bits.setdefault(key, len(bit_preds))
-            if j == len(bit_preds):
-                bit_preds.append(p)
-            q_bit[qi] = j
-        if len(bit_preds) > 62:
-            raise ValueError("more than 62 distinct filter sets in "
-                             "one batch — split the query set")
-        if bit_preds:
-            fmask_expr = None
-            for j, p in enumerate(bit_preds):
-                term_ = F.when(p, F.lit(1 << j)).otherwise(F.lit(0))
-                fmask_expr = term_ if fmask_expr is None \
-                    else fmask_expr + term_     # bits disjoint
-            mask_df = (self.docs
-                       .select("doc_id",
-                               fmask_expr.cast("long").alias("fmask"))
-                       .filter(F.col("fmask") > 0))
-            if all(p is not None for p in preds):
+        # Per-query filters as a per-doc bitmask (one pass over the
+        # docs table — _fmask_plan); query qi's candidate mask ANDs
+        # bit q_bit[qi], and docs passing no filter are pruned before
+        # the shuffle when every query is filtered.
+        q_bit, mask_df, all_filtered = self._fmask_plan(filt_q)
+        if mask_df is not None:
+            if all_filtered:
                 narrow = narrow.join(mask_df, "doc_id", "inner")
             else:
                 narrow = (narrow.join(mask_df, "doc_id", "left")
@@ -1402,7 +1432,7 @@ class FTSIndex:
         q_cols = [[col_idx[t] for t in sorted(mq)] for mq in matched_q]
         ncols = len(union_terms)
         DOC_BLOCK = self.SEARCH_MANY_DOC_BLOCK
-        has_fmask = bool(bit_preds)
+        has_fmask = mask_df is not None
 
         def part_topk(pdf_iter):
             chunks = [p for p in pdf_iter if len(p)]
@@ -1494,19 +1524,12 @@ class FTSIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id"))
         qid = F.col("query_id")
-        result = (cand.withColumn("_rn", F.row_number().over(w))
-                  .filter((F.col("_rn") > from_map[qid])
-                          & (F.col("_rn") <= depth_map[qid]))
-                  .drop("_rn")
-                  .orderBy("query_id", F.desc("score"),
-                           F.asc("doc_id")))
-        if hydrate:
-            # ≤ Σ k_q rows — broadcast to the docs scan, exactly the
-            # single-query hydrate join (fetch-ids-then-hydrate)
-            result = (self.docs.join(F.broadcast(result), "doc_id")
-                      .orderBy("query_id", F.desc("score"),
-                               F.asc("doc_id")))
-        return result
+        return _hydrated(
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > from_map[qid])
+                    & (F.col("_rn") <= depth_map[qid]))
+            .drop("_rn")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
 
     def match_count(self, query_text: str,
                     filters: dict | None = None) -> int:
@@ -1558,11 +1581,10 @@ class FTSIndex:
         idf = self.idf_map(sorted({t for ts in per_q for t in ts}))
         matched_q = [[t for t in ts if t in idf] for ts in per_q]
         union_terms = sorted({t for ts in matched_q for t in ts})
-        zero_rows = self.spark.createDataFrame(
-            [(qi, 0) for qi in range(nq)],
-            "query_id int, n_matches long")
         if not union_terms:
-            return zero_rows
+            return self.spark.createDataFrame(
+                [(qi, 0) for qi in range(nq)],
+                "query_id int, n_matches long")
 
         term_qmask = {t: 0 for t in union_terms}
         for qi, mq in enumerate(matched_q):
@@ -1581,36 +1603,16 @@ class FTSIndex:
             rows = rows.join(tomb, "doc_id", "left_anti")
         per_doc = rows.groupBy("doc_id").agg(F.bit_or("qm").alias("qm"))
 
-        # per-doc filter bits (same one-pass scheme as search_many)
-        preds = [self._filter_pred(f) for f in filt_q]
-        uniq_bits: dict[str, int] = {}
-        bit_preds: list = []
-        q_bit: list[int | None] = [None] * nq
-        for qi, (f, p) in enumerate(zip(filt_q, preds)):
-            if p is None:
-                continue
-            key = repr(sorted(f.items()))
-            j = uniq_bits.setdefault(key, len(bit_preds))
-            if j == len(bit_preds):
-                bit_preds.append(p)
-            q_bit[qi] = j
-        if bit_preds:
-            fmask_expr = None
-            for j, p in enumerate(bit_preds):
-                term_ = F.when(p, F.lit(1 << j)).otherwise(F.lit(0))
-                fmask_expr = term_ if fmask_expr is None \
-                    else fmask_expr + term_
-            mask_df = (self.docs
-                       .select("doc_id",
-                               fmask_expr.cast("long").alias("fmask"))
-                       .filter(F.col("fmask") > 0))
-            how = "inner" if all(p is not None for p in preds) \
-                else "left"
-            per_doc = per_doc.join(mask_df, "doc_id", how)
-            if how == "left":
-                per_doc = per_doc.select(
-                    "doc_id", "qm",
-                    F.coalesce("fmask", F.lit(0)).alias("fmask"))
+        # per-doc filter bits (the shared one-pass _fmask_plan)
+        q_bit, mask_df, all_filtered = self._fmask_plan(filt_q)
+        if mask_df is not None:
+            if all_filtered:
+                per_doc = per_doc.join(mask_df, "doc_id", "inner")
+            else:
+                per_doc = (per_doc.join(mask_df, "doc_id", "left")
+                           .select("doc_id", "qm",
+                                   F.coalesce("fmask", F.lit(0))
+                                   .alias("fmask")))
 
         aggs = []
         for qi in range(nq):

@@ -279,3 +279,23 @@ def test_connected_components_equal_union_find(spark, case, pairs):
     got = {int(r["node"]): int(r["lbl"]) for r in
            connected_components(df).collect()}
     assert got == _uf_components(pairs)
+
+
+def test_returned_labels_survive_next_invocation(spark):
+    """The RETURNED label generation is localCheckpoint-ed (lineage
+    truncated), so it must NOT join the eager-release cache: a caller
+    that holds the clusters DataFrame across the NEXT dedup catalog
+    invocation (which flushes that cache) must still be able to act
+    on it — released checkpoint blocks cannot be recomputed."""
+    from moera_search_spark.operators.dedup import (
+        _lsh_release_persists,
+        connected_components,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                               "id_a long, id_b long")
+    labels = connected_components(df)
+    first = {int(r["node"]): int(r["lbl"]) for r in labels.collect()}
+    _lsh_release_persists()          # what the next invocation does
+    again = {int(r["node"]): int(r["lbl"]) for r in labels.collect()}
+    assert again == first == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

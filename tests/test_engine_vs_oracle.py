@@ -251,6 +251,16 @@ class TestSearchMany:
         assert built_index.search_many(["zzzqqqxxyy"], k=5) \
             .count() == 0
 
+    def test_hydrate_schema_on_empty(self, built_index):
+        """hydrate=True must keep the hydrated docs schema on the
+        all-OOV early return too — a caller selecting doc columns
+        from an empty batch result must not hit AnalysisException."""
+        df = built_index.search_many(["zzzqqqxxyy"], k=5,
+                                     hydrate=True)
+        assert {"conv_id", "text", "score", "query_id"} \
+            <= set(df.columns)
+        assert df.count() == 0
+
 
 class TestMatchCountMany:
     """Batched total-hits: one JVM-side job (term→query bitmask,
