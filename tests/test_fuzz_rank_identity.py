@@ -68,3 +68,44 @@ def test_fuzz_rank_identity(built_index, oracle_index, q):
             (method, q)
         for (_, gs), (_, es) in zip(got, expected):
             assert gs == pytest.approx(es, abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", [11, 29, 53])
+@pytest.mark.parametrize("forced", [False, True],
+                         ids=["auto", "pruned+forced"])
+def test_fuzz_batched_rank_identity(built_index, oracle_index,
+                                    seed, forced):
+    """The batched path under the same randomization: a whole random
+    query SET — per-query k, filters and page — served by ONE
+    search_many job must agree per query with the pure-python oracle
+    (and hence with sequential search()), through both the exhaustive
+    batch and the forced batched-sidecar pruning."""
+    rng = random.Random(seed)
+    qs = _random_queries(8, seed=seed)
+    pages = [rng.choice([0, 0, 1, 2]) for _ in qs]
+    texts = [q["text"] for q in qs]
+    if forced:
+        built_index.PRUNE_MIN_FRACTION = -1.0
+    try:
+        got = built_index.search_many(
+            texts, k=[q["k"] for q in qs],
+            filters=[q["filters"] for q in qs], page=pages,
+            method="pruned" if forced else "auto").collect()
+    finally:
+        if forced:
+            del built_index.PRUNE_MIN_FRACTION
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), float(r["score"])))
+    for qi, q in enumerate(qs):
+        depth = (pages[qi] + 1) * q["k"]
+        full = oracle_index.search(
+            q["text"], k=depth,
+            predicate=filters_predicate(q["filters"]))
+        expected = full[pages[qi] * q["k"]:depth]
+        rows = by_q.get(qi, [])
+        assert [d for d, _ in rows] == [d for d, _ in expected], \
+            (qi, q, pages[qi])
+        for (_, gs), (_, es) in zip(rows, expected):
+            assert gs == pytest.approx(es, abs=1e-9)
