@@ -4,9 +4,20 @@
   (VERDICT r4 missing #2) — rank parity engine-row ↔ expression-twin
   is pinned here, so the swap can never silently change the ranking
   the round-4 catalog verified.
+* Oversized serving batches auto-chunk (VERDICT r4 next #4):
+  ``match_count_many`` beyond 62 queries and ``search_many`` beyond
+  62 DISTINCT filter sets split internally; per-query parity to the
+  unbatched calls pinned here.
+* ``search_many`` rejects k < 1 / page < 0 (ADVICE r4 #1).
+* The per-doc fmask now rides the narrow shuffle as encoded rows
+  (``tid = ncols + fmask``) instead of widening every row with an
+  int64 column (ADVICE r4 #2) — the mixed filtered/unfiltered parity
+  tests here and in test_engine_vs_oracle pin the rewrite.
 """
 
 from __future__ import annotations
+
+from datetime import datetime, timedelta
 
 import pytest
 
@@ -48,3 +59,113 @@ class TestPhraseDriverRowEngineParity:
         for r in rows:
             assert r["ptf"] >= 1
             assert math.isfinite(r["score"]) and r["score"] > 0
+
+
+class TestServingBatchAutoChunk:
+    QUERY_POOL = ["data table", "spark window join", "hash scan",
+                  "merge sort row", "stream batch", "filter group"]
+
+    def test_match_count_many_beyond_62(self, built_index):
+        """70 queries (> the 62-bit mask width) must auto-chunk and
+        still equal per-query match_count, including filtered ones."""
+        texts = [self.QUERY_POOL[i % len(self.QUERY_POOL)]
+                 for i in range(70)]
+        filters = [None if i % 3 else {"role": "user"}
+                   for i in range(70)]
+        got = {r["query_id"]: r["n_matches"] for r in
+               built_index.match_count_many(texts,
+                                            filters=filters).collect()}
+        assert len(got) == 70
+        for qi, (t, f) in enumerate(zip(texts, filters)):
+            assert got[qi] == built_index.match_count(t, filters=f), qi
+
+    def test_search_many_beyond_62_filter_sets(self, built_index):
+        """70 DISTINCT filter sets (> the 62 fmask bits) must
+        auto-chunk into sub-batches and stay rank- and bit-identical
+        per query to the single-query search()."""
+        base = datetime(2026, 1, 1)
+        texts = [self.QUERY_POOL[i % len(self.QUERY_POOL)]
+                 for i in range(70)]
+        filters = [{"ts_min": base + timedelta(minutes=i)}
+                   for i in range(70)]
+        got = built_index.search_many(texts, k=5,
+                                      filters=filters).collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"]))
+        for qi, (t, f) in enumerate(zip(texts, filters)):
+            want = [(r["doc_id"], r["score"]) for r in
+                    built_index.search(t, k=5, filters=f,
+                                       method="exhaustive").collect()]
+            assert by_q.get(qi, []) == want, qi
+
+    def test_search_many_chunked_hydrate(self, built_index):
+        base = datetime(2026, 1, 1)
+        texts = ["data table"] * 63
+        filters = [{"ts_min": base + timedelta(minutes=i)}
+                   for i in range(63)]
+        rows = built_index.search_many(texts, k=2, filters=filters,
+                                       hydrate=True).collect()
+        assert rows and "text" in rows[0].asDict()
+        flat = built_index.search_many(texts, k=2,
+                                       filters=filters).collect()
+        assert {(r["query_id"], r["doc_id"]) for r in rows} == \
+            {(r["query_id"], r["doc_id"]) for r in flat}
+
+
+class TestServingValueValidation:
+    def test_k_must_be_positive(self, built_index):
+        with pytest.raises(ValueError, match="k must be"):
+            built_index.search_many(["a", "b"], k=[5, 0])
+        with pytest.raises(ValueError, match="k must be"):
+            built_index.search_many(["a"], k=-1)
+
+    def test_page_must_be_non_negative(self, built_index):
+        with pytest.raises(ValueError, match="page must be"):
+            built_index.search_many(["a", "b"], k=5, page=[0, -1])
+
+
+class TestFmaskRowEncoding:
+    """The fmask rides the narrow shuffle as tid = ncols + fmask rows;
+    mixed and all-filtered batches must both stay identical to
+    per-query search()."""
+
+    def test_mixed_batch_parity(self, built_index):
+        texts = ["data table", "spark window", "hash scan"]
+        filters = [None, {"role": "assistant"}, {"tool": "bash"}]
+        got = built_index.search_many(texts, k=8,
+                                      filters=filters).collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"]))
+        for qi, (t, f) in enumerate(zip(texts, filters)):
+            want = [(r["doc_id"], r["score"]) for r in
+                    built_index.search(t, k=8, filters=f,
+                                       method="exhaustive").collect()]
+            assert by_q.get(qi, []) == want, qi
+
+    def test_all_filtered_batch_parity(self, built_index):
+        texts = ["data table", "spark window"]
+        filters = [{"role": "user"}, {"role": "assistant"}]
+        got = built_index.search_many(texts, k=8,
+                                      filters=filters).collect()
+        by_q: dict[int, list] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"]))
+        for qi, (t, f) in enumerate(zip(texts, filters)):
+            want = [(r["doc_id"], r["score"]) for r in
+                    built_index.search(t, k=8, filters=f,
+                                       method="exhaustive").collect()]
+            assert by_q.get(qi, []) == want, qi
+
+    def test_match_count_many_mixed_parity(self, built_index):
+        texts = ["data table", "spark window", "hash scan"]
+        filters = [None, {"role": "assistant"}, None]
+        got = {r["query_id"]: r["n_matches"] for r in
+               built_index.match_count_many(texts,
+                                            filters=filters).collect()}
+        for qi, (t, f) in enumerate(zip(texts, filters)):
+            assert got[qi] == built_index.match_count(t, filters=f), qi
