@@ -354,3 +354,89 @@ def test_audio_flac_features_lossless_vs_pcm_path(spark):
                                * np.floor(abs(f * 1e6) + 0.5)))
                        for f in feats)
         assert got[doc_id] == exp
+
+
+class TestAudioLibrarySeam:
+    """The wired audio path behind SPARK_GRAFT_AUDIO_LIBRARY
+    (round 5 — the audio twin of the PIL seam above)."""
+
+    def test_flag_off_means_native(self, monkeypatch):
+        from moera_search_spark.operators.multimodal import (
+            AUDIO_LIBRARY_ENV, _library_decode_audio)
+
+        monkeypatch.delenv(AUDIO_LIBRARY_ENV, raising=False)
+        assert _library_decode_audio(b"fLaC") is None
+
+    def test_flag_on_without_backend_falls_back_native(self, monkeypatch):
+        """With the flag set but neither soundfile nor ffmpeg present,
+        decode_audio must still decode FLAC natively."""
+        import shutil
+
+        from moera_search_spark.flac import encode_flac
+        from moera_search_spark.operators.multimodal import (
+            AUDIO_LIBRARY_ENV, decode_audio, synth_audio)
+
+        has_backend = shutil.which("ffmpeg") is not None
+        try:
+            import soundfile  # noqa: F401
+            has_backend = True
+        except ImportError:
+            pass
+        monkeypatch.setenv(AUDIO_LIBRARY_ENV, "1")
+        s = synth_audio(7)
+        pcm = (np.clip(s, -1.0, 1.0) * 32767.0).astype(np.int16)
+        mono, rate = decode_audio(encode_flac(pcm[None, :], 8000))
+        assert rate == 8000 and mono.shape == s.shape
+        if not has_backend:
+            # native path ran: bit-exact int16 round trip
+            assert np.array_equal(
+                (mono * 32767.0).round().astype(np.int16), pcm)
+
+    def test_library_parity_on_flac(self, monkeypatch):
+        """Skip-if-absent: with a backend installed, the library path
+        must agree with the native RFC-9639 decoder to full-scale
+        normalization (libsndfile divides by 2^15, the native path by
+        2^15 - 1: a 3e-5 relative difference)."""
+        import shutil
+
+        try:
+            import soundfile  # noqa: F401
+        except ImportError:
+            if shutil.which("ffmpeg") is None:
+                pytest.skip("no audio library backend installed")
+        from moera_search_spark.flac import encode_flac
+        from moera_search_spark.operators.multimodal import (
+            AUDIO_LIBRARY_ENV, decode_audio, synth_audio)
+
+        s = synth_audio(21)
+        pcm = (np.clip(s, -1.0, 1.0) * 32767.0).astype(np.int16)
+        buf = encode_flac(pcm[None, :], 8000)
+        monkeypatch.delenv(AUDIO_LIBRARY_ENV, raising=False)
+        native, nrate = decode_audio(buf)
+        monkeypatch.setenv(AUDIO_LIBRARY_ENV, "1")
+        lib, lrate = decode_audio(buf)
+        assert lrate == nrate and lib.shape == native.shape
+        assert np.allclose(lib, native, atol=2e-4)
+
+    def test_library_parity_on_g711_wav(self, monkeypatch):
+        """Skip-if-absent: the seam must also agree on a native-WAV
+        payload (G.711 mu-law), proving it is a superset, not a
+        different contract."""
+        import shutil
+
+        try:
+            import soundfile  # noqa: F401
+        except ImportError:
+            if shutil.which("ffmpeg") is None:
+                pytest.skip("no audio library backend installed")
+        from moera_search_spark.operators.multimodal import (
+            AUDIO_LIBRARY_ENV, decode_audio, encode_g711_wav,
+            synth_audio)
+
+        buf = encode_g711_wav(synth_audio(5), law="ulaw")
+        monkeypatch.delenv(AUDIO_LIBRARY_ENV, raising=False)
+        native, nrate = decode_audio(buf)
+        monkeypatch.setenv(AUDIO_LIBRARY_ENV, "1")
+        lib, lrate = decode_audio(buf)
+        assert lrate == nrate and lib.shape == native.shape
+        assert np.allclose(lib, native, atol=2e-4)
