@@ -341,7 +341,8 @@ def engine_child(n_cpus: int, transcripts_path: str, warmup_path: str,
         out["merge_docs"] = mres["docs_merged"]
         out["merge_vs_full_build"] = round(merge_sec / build_sec, 3)
 
-    if with_queries and tag in ("", "r"):
+    if with_queries and (tag in ("", "r") or os.environ.get(
+            "SPARK_GRAFT_CHILD_POSITIONS") == "1"):
         # Positional-index leg (small engine leg only — the headline
         # build legs stay positions-less for round-over-round
         # continuity): one positions=True build on the same corpus
