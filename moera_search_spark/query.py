@@ -52,6 +52,15 @@ DECODED_SCHEMA = "term string, doc_id long, contrib double"
 PHRASE_SCHEMA = "doc_id long, ptf long, score double"
 
 
+def _check_k_page(k: int, page: int) -> None:
+    """Shared serving-contract check (ADVICE r4): a k < 1 or negative
+    page silently yields an empty/odd slice, masking caller bugs."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    if page < 0:
+        raise ValueError(f"page must be >= 0; got {page}")
+
+
 def _phrase_match_iter(slots: list[tuple[str, int]], sum_idf: float,
                        avgdl: float, k1: float, b: float):
     """mapInPandas body for exact-phrase matching over positional runs.
@@ -460,6 +469,7 @@ class FTSIndex:
         the top (page+1)·k and slice the last k."""
         from pyspark.sql import functions as F
 
+        _check_k_page(k, page)
         if method == "auto":
             if ("pc_granularity" in self.config and os.path.isdir(
                     os.path.join(self.index_dir, "pc_bounds"))):
@@ -527,6 +537,7 @@ class FTSIndex:
         from .analyzer import analyze_query_positions
         from .build import term_bucket
 
+        _check_k_page(k, page)
         if slop != 0:
             raise NotImplementedError(
                 "sloppy phrase matching (slop > 0) is not implemented; "

@@ -125,6 +125,14 @@ class TestServingValueValidation:
         with pytest.raises(ValueError, match="page must be"):
             built_index.search_many(["a", "b"], k=5, page=[0, -1])
 
+    def test_single_query_paths_validate_too(self, built_index):
+        with pytest.raises(ValueError, match="k must be"):
+            built_index.search("a", k=0)
+        with pytest.raises(ValueError, match="page must be"):
+            built_index.search("a", k=5, page=-1)
+        with pytest.raises(ValueError, match="k must be"):
+            built_index.search_phrase("a b", k=0)
+
 
 class TestFmaskRowEncoding:
     """The fmask rides the narrow shuffle as tid = ncols + fmask rows;
