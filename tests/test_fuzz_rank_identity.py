@@ -109,3 +109,43 @@ def test_fuzz_batched_rank_identity(built_index, oracle_index,
             (qi, q, pages[qi])
         for (_, gs), (_, es) in zip(rows, expected):
             assert gs == pytest.approx(es, abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", [17, 71])
+def test_fuzz_chunked_batch_rank_identity(built_index, oracle_index,
+                                          seed):
+    """Auto-chunked batches (round 5: >62 distinct filter sets split
+    into sub-batches internally) under the same randomization: 70
+    queries, each with a DISTINCT ts_min filter (forcing ≥2
+    sub-batches), random k and page — per-query results must equal
+    the pure-python oracle exactly, proving sub-batch boundaries and
+    query_id remapping can never leak between queries."""
+    from datetime import timedelta
+
+    rng = random.Random(seed)
+    qs = _random_queries(70, seed=seed)
+    filters, pages = [], []
+    for i, q in enumerate(qs):
+        f = dict(q["filters"] or {})
+        f["ts_min"] = BASE_TS + timedelta(minutes=7 * i + rng.randint(0, 5))
+        filters.append(f)
+        pages.append(rng.choice([0, 0, 1]))
+    texts = [q["text"] for q in qs]
+    got = built_index.search_many(
+        texts, k=[q["k"] for q in qs], filters=filters,
+        page=pages).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), float(r["score"])))
+    for qi, q in enumerate(qs):
+        depth = (pages[qi] + 1) * q["k"]
+        full = oracle_index.search(
+            q["text"], k=depth,
+            predicate=filters_predicate(filters[qi]))
+        expected = full[pages[qi] * q["k"]:depth]
+        rows = by_q.get(qi, [])
+        assert [d for d, _ in rows] == [d for d, _ in expected], \
+            (qi, q, pages[qi])
+        for (_, gs), (_, es) in zip(rows, expected):
+            assert gs == pytest.approx(es, abs=1e-9)
