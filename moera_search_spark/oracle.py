@@ -116,17 +116,28 @@ class OracleIndex:
 
     def search_phrase(self, query_text: str, k: int = 10,
                       predicate: Callable[[dict[str, Any]], bool]
-                      | None = None) -> list[tuple[int, float]]:
-        """Exact-phrase BM25 top-k — the Lucene PhraseQuery contract:
-        the analyzed phrase keeps raw-stream positions (stopword gaps
-        preserved), a document matches where every slot's term occurs
-        at the slot's relative offset, tf = the exact number of such
-        anchor positions, idf = Σ idf over the DISTINCT phrase terms
-        (sorted-term summation, mirrored bit-for-bit by the engine)."""
+                      | None = None,
+                      slop: int = 0) -> list[tuple[int, float]]:
+        """Phrase BM25 top-k — the Lucene PhraseQuery contract: the
+        analyzed phrase keeps raw-stream positions (stopword gaps
+        preserved).  Exact (``slop=0``): a document matches where
+        every slot's term occurs at the slot's relative offset, tf =
+        the number of such anchors.  Sloppy (``slop>0``, distinct
+        terms only): the classic SloppyPhraseScorer sweep —
+        implemented here independently of the engine's
+        ``_sloppy_sweep`` so the fuzz parity is a real cross-check —
+        with tf = Σ 1/(1 + matchLength) over the windows it scores.
+        idf = Σ idf over the DISTINCT phrase terms (sorted-term
+        summation, mirrored bit-for-bit by the engine)."""
         slots = analyze_query_positions(query_text, mode=self.mode)
         if not slots or not self.doc_len:
             return []
         terms = sorted({t for t, _ in slots})
+        if len(slots) <= 1:
+            slop = 0
+        elif slop > 0 and len(terms) < len(slots):
+            raise NotImplementedError(
+                "sloppy matching of repeated-term phrases")
         if any(not self.positions.get(t) for t in terms):
             return []
         sum_idf = 0.0
@@ -140,19 +151,62 @@ class OracleIndex:
             if predicate is not None and not predicate(
                     self.attrs[doc_id]):
                 continue
-            t0, q0 = slots[0]
-            anchors = {p - q0 for p in self.positions[t0][doc_id]}
-            for t, q in slots[1:]:
-                anchors &= {p - q for p in self.positions[t][doc_id]}
-                if not anchors:
-                    break
-            ptf = len(anchors)
-            if ptf:
+            if slop > 0:
+                tf: float = self._sloppy_freq(
+                    [[p - q for p in self.positions[t][doc_id]]
+                     for t, q in slots], slop)
+            else:
+                t0, q0 = slots[0]
+                anchors = {p - q0 for p in self.positions[t0][doc_id]}
+                for t, q in slots[1:]:
+                    anchors &= {p - q
+                                for p in self.positions[t][doc_id]}
+                    if not anchors:
+                        break
+                tf = len(anchors)
+            if tf:
                 items.append((doc_id, sum_idf * bm25_tfnorm(
-                    ptf, self.doc_len[doc_id], self.avgdl,
+                    tf, self.doc_len[doc_id], self.avgdl,
                     self.k1, self.b)))
         items.sort(key=lambda x: (-x[1], x[0]))
         return items[:k]
+
+    @staticmethod
+    def _sloppy_freq(pos_lists: list[list[int]], slop: int) -> float:
+        """The classic Lucene sloppy sweep over per-slot ADJUSTED
+        position lists (ascending, all non-empty), written plainly:
+        keep one cursor per slot; repeatedly take the slot whose
+        current position is smallest (ties: slot order), advance it
+        through every position ≤ the smallest position among the
+        OTHER slots, and score a match when the historical max
+        position minus the last position so reached is ≤ slop,
+        weighted 1/(1+that); stop when a slot exhausts (its last
+        window still scores)."""
+        cursors = [0] * len(pos_lists)
+        end = max(lst[0] for lst in pos_lists)
+        freq = 0.0
+        while True:
+            i = min(range(len(pos_lists)),
+                    key=lambda j: (pos_lists[j][cursors[j]], j))
+            others_min = min(pos_lists[j][cursors[j]]
+                             for j in range(len(pos_lists)) if j != i)
+            lst = pos_lists[i]
+            c = cursors[i]
+            start = lst[c]
+            done = False
+            while lst[c] <= others_min:
+                start = lst[c]
+                c += 1
+                if c >= len(lst):
+                    done = True
+                    break
+            cursors[i] = min(c, len(lst) - 1)
+            match_length = end - start
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            if done:
+                return freq
+            end = max(end, lst[c])
 
 
 def build_oracle(rows: list[dict[str, Any]], *, text_col: str = "text",

@@ -52,6 +52,61 @@ DECODED_SCHEMA = "term string, doc_id long, contrib double"
 PHRASE_SCHEMA = "doc_id long, ptf long, score double"
 
 
+def _sloppy_sweep(pos_lists, slop: int) -> tuple[float, int]:
+    """Sloppy-phrase frequency for ONE document — the classic Lucene
+    sweep (SloppyPhraseScorer.phraseFreq, Lucene 3.x/4.x; the modern
+    SloppyPhraseMatcher keeps the same contract for phrases without
+    repeated terms): a priority queue of per-slot ADJUSTED positions
+    (document position − query offset, ties broken by query offset
+    order), initialized with ``end = max`` of the first positions;
+    repeatedly pop the minimum slot, advance it through every
+    position ≤ the new queue top (tracking ``start`` = the last such
+    position), and score a match when ``matchLength = end − start ≤
+    slop`` with weight ``1/(1 + matchLength)`` (DefaultSimilarity
+    sloppyFreq); ``end`` only grows.  The sweep ends when any slot
+    exhausts — its final window still scores, as in Lucene.
+
+    ``pos_lists``: one ascending int array per slot (ALL non-empty;
+    callers pre-filter conjunctively).  Returns (sloppy_freq,
+    n_matches).  Inherently sequential per document — the same
+    per-doc loop shape Lucene runs; distribution happens across
+    (term, chunk) partitions, not inside the sweep."""
+    import heapq
+
+    ptrs = [0] * len(pos_lists)
+    heap = [(int(arr[0]), i) for i, arr in enumerate(pos_lists)]
+    heapq.heapify(heap)
+    end = max(p for p, _ in heap)
+    freq = 0.0
+    n_matches = 0
+    while True:
+        pos, i = heapq.heappop(heap)
+        arr = pos_lists[i]
+        nxt = heap[0][0]
+        start = pos
+        done = False
+        p = ptrs[i]
+        cur = int(arr[p])
+        while cur <= nxt:
+            start = cur
+            p += 1
+            if p >= len(arr):
+                done = True
+                break
+            cur = int(arr[p])
+        ptrs[i] = p
+        match_length = end - start
+        if match_length <= slop:
+            freq += 1.0 / (1.0 + match_length)
+            n_matches += 1
+        if done:
+            break
+        if cur > end:
+            end = cur
+        heapq.heappush(heap, (cur, i))
+    return freq, n_matches
+
+
 def _check_k_page(k: int, page: int) -> None:
     """Shared serving-contract check (ADVICE r4): a k < 1 or negative
     page silently yields an empty/odd slice, masking caller bugs."""
@@ -62,7 +117,8 @@ def _check_k_page(k: int, page: int) -> None:
 
 
 def _phrase_match_iter(slots: list[tuple[str, int]], sum_idf: float,
-                       avgdl: float, k1: float, b: float):
+                       avgdl: float, k1: float, b: float,
+                       slop: int = 0):
     """mapInPandas body for exact-phrase matching over positional runs.
 
     Input: ``positions``-table rows repartitioned by chunk and sorted
@@ -125,6 +181,41 @@ def _phrase_match_iter(slots: list[tuple[str, int]], sum_idf: float,
                                       assume_unique=True)
             if cand.size == 0:
                 return None
+            if slop > 0:
+                # sloppy matching (classic Lucene sweep, one doc at a
+                # time — see _sloppy_sweep): per-slot ADJUSTED
+                # position lists per candidate doc, conjunctive
+                # pre-filter already applied via cand.  tf =
+                # sloppyFreq (Σ 1/(1+matchLength)); ptf reports the
+                # match-window count.
+                slot_data = []
+                for t, q in slots:
+                    d, tf, pflat, _ = per_term[t]
+                    offs = np.concatenate(([0], np.cumsum(tf)))
+                    cs = np.cumsum(pflat)
+                    seg_base = cs[offs[:-1]] - pflat[offs[:-1]]
+                    abs_pos = cs - np.repeat(seg_base, tf)
+                    sel = np.searchsorted(d, cand)
+                    slot_data.append((offs, abs_pos, sel, q))
+                freqs = np.zeros(cand.size)
+                nmatch = np.zeros(cand.size, np.int64)
+                for ci in range(cand.size):
+                    lists = [ap[offs[sel[ci]]:offs[sel[ci] + 1]] - q
+                             for offs, ap, sel, q in slot_data]
+                    freqs[ci], nmatch[ci] = _sloppy_sweep(lists, slop)
+                keep = freqs > 0.0
+                if not keep.any():
+                    return None
+                hit_docs = cand[keep]
+                sfreq = freqs[keep]
+                d0, _, _, dl0 = per_term[terms[0]]
+                dls = dl0[np.searchsorted(d0, hit_docs)]
+                norm = sfreq / (sfreq + k1 * (1.0 - b
+                                              + b * dls / avgdl))
+                return pd.DataFrame(
+                    {"doc_id": hit_docs.astype("int64"),
+                     "ptf": nmatch[keep],
+                     "score": sum_idf * norm})
             base = int(cand[0])
             keys = None
             for t, q in slots:
@@ -523,14 +614,21 @@ class FTSIndex:
         frequency and idf = Σ idf over the distinct phrase terms,
         normalized by the document length.  A one-term phrase
         degenerates to the equivalent term query (Lucene's own
-        PhraseQuery rewrite).  Filters never score, as everywhere.
+        PhraseQuery rewrite, regardless of slop).  Filters never
+        score, as everywhere.
 
-        Requires ``build_index(..., positions=True)``.  Only exact
-        matching (``slop=0``) is implemented: Lucene's sloppy-phrase
-        scorer weights matches by 1/(slop+1) through a multi-iterator
-        repositioning algorithm whose semantics we will not
-        approximate silently — an honest NotImplementedError beats a
-        subtly different ranking.
+        ``slop > 0`` (round 5) runs the classic Lucene sloppy sweep
+        (``_sloppy_sweep`` — the documented SloppyPhraseScorer
+        contract: min-advance over the adjusted-position queue, each
+        match weighted ``1/(1 + matchLength)``; tf = that
+        sloppyFreq, ``ptf`` reports the match-window count) for
+        phrases WITHOUT repeated terms.  A repeated-term sloppy
+        phrase raises NotImplementedError: Lucene's repeat-collision
+        machinery (termPositionsDiffer / repeat groups) is a
+        distinct algorithm whose semantics we will not approximate
+        silently — an honest error beats a subtly different ranking.
+
+        Requires ``build_index(..., positions=True)``.
         """
         from pyspark.sql import functions as F
 
@@ -538,10 +636,8 @@ class FTSIndex:
         from .build import term_bucket
 
         _check_k_page(k, page)
-        if slop != 0:
-            raise NotImplementedError(
-                "sloppy phrase matching (slop > 0) is not implemented; "
-                "only exact phrase (slop=0)")
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0; got {slop}")
         if not bool(self.config.get("positions", False)):
             raise ValueError(
                 "index was built without positions=True — rebuild with "
@@ -550,6 +646,14 @@ class FTSIndex:
         slots = analyze_query_positions(query_text, mode=self.mode)
         empty = self.spark.createDataFrame([], PHRASE_SCHEMA)
         terms = sorted({t for t, _ in slots})
+        if len(slots) <= 1:
+            slop = 0   # 1-term phrase ≡ term query at any slop
+        elif slop > 0 and len(terms) < len(slots):
+            raise NotImplementedError(
+                "sloppy matching of phrases with REPEATED terms is "
+                "not implemented (Lucene's repeat-collision "
+                "machinery); exact matching (slop=0) supports "
+                "repeats")
         idf = self.idf_map(terms)
         if not slots or any(t not in idf for t in terms):
             # phrase matching is conjunctive: any absent term ⇒ no doc
@@ -580,7 +684,7 @@ class FTSIndex:
                       .mapInPandas(
                           _phrase_match_iter(slots, sum_idf,
                                              self.avgdl, self.k1,
-                                             self.b),
+                                             self.b, slop=slop),
                           PHRASE_SCHEMA))
             tomb = self.tombstones
             if tomb is not None:

@@ -204,9 +204,12 @@ class TestPhraseEdges:
         with pytest.raises(ValueError, match="positions"):
             built_index.search_phrase("any phrase")
 
-    def test_slop_is_an_honest_slot(self, pos_index):
-        with pytest.raises(NotImplementedError, match="slop"):
-            pos_index.search_phrase("some phrase", slop=1)
+    def test_sloppy_repeats_are_an_honest_slot(self, pos_index):
+        # slop>0 is implemented since round 5 (classic Lucene sweep,
+        # tests/test_sloppy_phrase.py); the remaining honest slot is
+        # Lucene's repeat-collision machinery
+        with pytest.raises(NotImplementedError, match="REPEATED|repeat"):
+            pos_index.search_phrase("running running", slop=1)
 
     def test_hydrate(self, pos_index, corpus_pdf):
         ph = _phrases_from(corpus_pdf, 1)[0]
