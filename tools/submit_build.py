@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--method", default="auto",
                    choices=["auto", "exhaustive", "pruned"])
+    q.add_argument("--slop", type=int, default=0,
+                   help="phrase slop (0 = exact; >0 = Lucene sloppy "
+                        "sweep, distinct-term phrases)")
     q.add_argument("--phrase", action="store_true",
                    help="exact-phrase query (requires a positional "
                         "index; --method is ignored)")
@@ -115,7 +118,8 @@ def main(argv=None) -> int:
 
         idx = FTSIndex(spark, args.index_dir)
         if args.phrase:
-            rows = idx.search_phrase(args.text, k=args.k).collect()
+            rows = idx.search_phrase(args.text, k=args.k,
+                                     slop=args.slop).collect()
         else:
             rows = idx.search(args.text, k=args.k,
                               method=args.method).collect()
