@@ -543,6 +543,16 @@ class FTSIndex:
     # corpus).  Class attr so tests can shrink it to cover the
     # multi-block path.
     SEARCH_MANY_DOC_BLOCK = 1 << 18
+    # FILTERED query sets route to the per-query-union strategy above
+    # this corpus size (search_many method='auto'): the batched
+    # narrow-shuffle path leads at ≤9.7M turns (2.08× at 3.9M, 1.15×
+    # at 9.7M) but the fmask rows + per-query candidate growth erode
+    # the shared-scan gain — measured 0.79× vs sequential-exhaustive
+    # at 19.4M and 0.91× vs sequential-pruned at 38.9M (BASELINE.md
+    # round-5 size points).  Unfiltered sets stay batched (lead at
+    # every measured size).  Class attr so tests and deployments can
+    # move the crossover.
+    SEARCH_MANY_FILTERED_SEQ_MIN_DOCS = 15_000_000
 
     def search(self, query_text: str, k: int = 10,
                filters: dict | None = None, method: str = "auto",
@@ -1319,6 +1329,13 @@ class FTSIndex:
         candidate mask ANDs its bit — filters never score, exactly as
         in ``search()``.
 
+        ``method='per-query'`` (and the ``'auto'`` pick for FILTERED
+        sets at ≥ ``SEARCH_MANY_FILTERED_SEQ_MIN_DOCS`` docs) serves
+        the set as a union of per-query ``search()`` plans in one
+        DataFrame — the measured winner for filtered sets on large
+        corpora, where fmask rows + per-query candidate growth erode
+        the shared scan (0.79×/0.91× at 19.4M/38.9M, BASELINE.md).
+
         ``method='pruned'`` (the ``'auto'`` pick when the build-time
         ``pc_bounds`` sidecar is present) batches the sidecar path
         too: per-query θ and surviving-pc sets come from ONE shared
@@ -1457,6 +1474,31 @@ class FTSIndex:
             return (self.docs.join(F.broadcast(result), "doc_id")
                     .orderBy("query_id", F.desc("score"),
                              F.asc("doc_id")))
+
+        # Strategy routing (round 5): FILTERED sets on a large corpus
+        # serve as a UNION of per-query plans — each branch is
+        # literally search()'s plan (rank- and bit-identity
+        # inherited), the union is still ONE DataFrame/action for the
+        # caller, and the measured crossover is the class attr above.
+        # method='per-query' forces it; unfiltered auto sets never
+        # route here (batched leads at every measured size).
+        if method == "per-query" or (
+                method == "auto"
+                and any(f is not None for f in filt_q)
+                and self.n_docs >= self.SEARCH_MANY_FILTERED_SEQ_MIN_DOCS):
+            parts = []
+            for qi in range(nq):
+                r = self.search(query_texts[qi], k=ks[qi],
+                                filters=filt_q[qi], method="auto",
+                                page=pages[qi])
+                parts.append(r.select(
+                    F.lit(qi).cast("int").alias("query_id"),
+                    "doc_id", "score"))
+            out = parts[0]
+            for p_ in parts[1:]:
+                out = out.unionByName(p_)
+            return _hydrated(out.orderBy("query_id", F.desc("score"),
+                                         F.asc("doc_id")))
 
         per_q = [self.query_terms(q) for q in query_texts]
         idf = self.idf_map(sorted({t for ts in per_q for t in ts}))

@@ -177,3 +177,71 @@ class TestFmaskRowEncoding:
                                             filters=filters).collect()}
         for qi, (t, f) in enumerate(zip(texts, filters)):
             assert got[qi] == built_index.match_count(t, filters=f), qi
+
+
+class TestPerQueryRouting:
+    """Round-5 strategy routing: filtered sets on large corpora serve
+    as a union of per-query search() plans (one DataFrame); results
+    must be identical to both the batched path and sequential
+    search()."""
+
+    TEXTS = ["data table", "spark window", "hash scan"]
+    FILTERS = [{"role": "user"}, None, {"role": "assistant"}]
+
+    def _by_q(self, rows):
+        out: dict[int, list] = {}
+        for r in rows:
+            out.setdefault(int(r["query_id"]), []).append(
+                (int(r["doc_id"]), float(r["score"])))
+        return out
+
+    def test_explicit_per_query_matches_batched(self, built_index):
+        a = self._by_q(built_index.search_many(
+            self.TEXTS, k=8, filters=self.FILTERS,
+            method="per-query").collect())
+        b = self._by_q(built_index.search_many(
+            self.TEXTS, k=8, filters=self.FILTERS).collect())
+        assert a == b and len(a) == 3
+
+    def test_auto_routes_on_large_filtered_corpus(self, built_index):
+        built_index.SEARCH_MANY_FILTERED_SEQ_MIN_DOCS = 0
+        try:
+            routed = self._by_q(built_index.search_many(
+                self.TEXTS, k=8, filters=self.FILTERS).collect())
+        finally:
+            del built_index.SEARCH_MANY_FILTERED_SEQ_MIN_DOCS
+        for qi, (t, f) in enumerate(zip(self.TEXTS, self.FILTERS)):
+            want = [(int(r["doc_id"]), float(r["score"])) for r in
+                    built_index.search(t, k=8, filters=f,
+                                       method="exhaustive").collect()]
+            assert routed.get(qi, []) == want, qi
+
+    def test_unfiltered_auto_never_routes(self, built_index):
+        # threshold 0 but no filters: the batched path must serve it
+        # (routing requires a filtered set); parity with sequential
+        # still holds either way, so pin via the plan-visible shape:
+        # per-query union has no fmask/narrow shuffle to hash; easier
+        # and sufficient is value parity + the routing predicate
+        built_index.SEARCH_MANY_FILTERED_SEQ_MIN_DOCS = 0
+        try:
+            got = self._by_q(built_index.search_many(
+                self.TEXTS, k=8).collect())
+        finally:
+            del built_index.SEARCH_MANY_FILTERED_SEQ_MIN_DOCS
+        for qi, t in enumerate(self.TEXTS):
+            want = [(int(r["doc_id"]), float(r["score"])) for r in
+                    built_index.search(t, k=8,
+                                       method="exhaustive").collect()]
+            assert got.get(qi, []) == want, qi
+
+    def test_per_query_with_pages_and_hydrate(self, built_index):
+        rows = built_index.search_many(
+            self.TEXTS, k=3, filters=self.FILTERS, page=[0, 1, 0],
+            method="per-query", hydrate=True).collect()
+        assert rows and "text" in rows[0].asDict()
+        flat = self._by_q(built_index.search_many(
+            self.TEXTS, k=3, filters=self.FILTERS,
+            page=[0, 1, 0]).collect())
+        hyd = self._by_q(rows)
+        # same per-query (doc, score) rows, same rank order
+        assert hyd == flat
