@@ -249,3 +249,45 @@ class TestEngineSloppy:
             # windows: (alpha@0, beta@2) length 1 and
             # (alpha@3, beta@4) length 0 → ptf 2, freq 1.5
             assert r["ptf"] == 2
+
+
+class TestSweepHypothesis:
+    """Hypothesis properties over the sweep (pure-python, no Spark):
+    shrinking finds minimal counterexamples if the two independent
+    implementations (engine numpy / oracle plain-python) or the
+    slop=0 ≡ exact-anchors tie ever diverge."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pos_list = st.lists(st.integers(min_value=-8, max_value=40),
+                        min_size=1, max_size=10, unique=True).map(sorted)
+    slots = st.lists(pos_list, min_size=2, max_size=5)
+
+    @given(lists=slots, slop=st.integers(min_value=0, max_value=10))
+    @settings(max_examples=400, deadline=None)
+    def test_engine_and_oracle_sweeps_agree(self, lists, slop):
+        f_eng, n_eng = _sweep(lists, slop)
+        f_orc = OracleIndex._sloppy_freq([list(x) for x in lists],
+                                         slop)
+        assert f_orc == pytest.approx(f_eng)
+
+    @given(lists=slots)
+    @settings(max_examples=400, deadline=None)
+    def test_slop0_is_exact_anchor_count(self, lists):
+        exact = set(lists[0])
+        for lst in lists[1:]:
+            exact &= set(lst)
+        f, n = _sweep(lists, 0)
+        assert n == len(exact)
+        assert f == pytest.approx(float(len(exact)))
+
+    @given(lists=slots, slop=st.integers(min_value=0, max_value=9))
+    @settings(max_examples=200, deadline=None)
+    def test_freq_monotone_in_slop(self, lists, slop):
+        # widening the window can never lose weight: every window
+        # scored at slop s is scored identically at s+1 (the sweep
+        # visits the same states regardless of slop)
+        f1, n1 = _sweep(lists, slop)
+        f2, n2 = _sweep(lists, slop + 1)
+        assert f2 >= f1 - 1e-12 and n2 >= n1
