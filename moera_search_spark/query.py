@@ -1517,7 +1517,9 @@ class FTSIndex:
                           self.index_dir, "pc_bounds")))
                       else "exhaustive")
         elif method not in ("exhaustive", "pruned"):
-            raise ValueError(f"unknown method {method}")
+            raise ValueError(
+                f"unknown method {method!r} — one of 'auto', "
+                "'exhaustive', 'pruned', 'per-query'")
         G = max(64, self.chunk_size // 32)
         restrict_pcs: dict[int, "np.ndarray"] | None = None
         block_pairs = None          # (term, pc) scan units when pruned
