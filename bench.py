@@ -541,8 +541,8 @@ def main() -> None:
     def engine_leg(n_cpus: int, leg_corpus: str, tag: str,
                    band: float) -> dict:
         """Spawn an engine child; if its best build sample lands
-        outside the recorded clean-window band (×1.25), re-run the
-        whole child once behind a settle gate and keep the faster
+        above the recorded clean-window band, re-run the whole
+        child once behind a settle gate and keep the faster
         leg.  Every attempt's build time and the band itself stay in
         the emitted record; a leg still outside after the retry is
         flagged ``contended_window`` rather than silently reported as

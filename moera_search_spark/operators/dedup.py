@@ -591,19 +591,14 @@ def dedup_lsh_clusters(spark, sf_dir, max_iters: int = 25):
     semantics and the per-round cost.  The hard cap still fails
     LOUDLY rather than emitting a half-converged labeling.
 
-    Label generations are ``localCheckpoint``-ed, not merely
-    persisted: each round references the previous generation twice
-    (once through the propagation join, once through the union), so
-    without a lineage CUT the logical plan doubles per round —
-    measured 47k plan lines after 4 rounds at sf0.01 — and Catalyst
-    analysis time, not the data, becomes the bottleneck.  The
-    checkpoint truncates the plan to a scan of the materialized
-    generation (the standard Spark idiom for iterative algorithms);
-    superseded generations are released eagerly, and the edge set
-    goes through the same one-generation cache as
-    ``dedup_minhash_lsh``.  Oracle: DuckDB recursive CTE over the
-    identical pairs SQL — min reachable id per node IS the component
-    minimum."""
+    Edge generations are ``localCheckpoint``-ed each round with
+    eager release of the superseded generation (an iterative plan
+    otherwise doubles per round — the round-4 label-propagation
+    variant measured 47k plan lines after 4 rounds at sf0.01 before
+    this discipline existed; see ``connected_components`` for the
+    round-5 loop's own description).  Oracle: DuckDB recursive CTE
+    over the identical pairs SQL — min reachable id per node IS the
+    component minimum."""
     from pyspark.sql import functions as F
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
@@ -649,9 +644,13 @@ def connected_components(pairs, max_iters: int = 25):
              .union(raw.select(F.col("dst").alias("node")))
              .distinct().persist())
     _LSH_PERSIST_CACHE.append(nodes)
+    # seed orientation (greatest, least) matches what every
+    # contraction round emits (src > dst), so an input that is
+    # already a min-rooted star converges at the FIRST change probe
+    # instead of paying one extra full round to flip orientations
     edges = (raw.filter(F.col("src") != F.col("dst"))
-             .select(F.least("src", "dst").alias("src"),
-                     F.greatest("src", "dst").alias("dst"))
+             .select(F.greatest("src", "dst").alias("src"),
+                     F.least("src", "dst").alias("dst"))
              .distinct().localCheckpoint())
     for _ in range(max_iters):
         # large-star: u's strictly-larger neighbors hook onto

@@ -213,7 +213,7 @@ def fts_phrase_match(spark, sf_dir):
     from pyspark.sql import functions as F
 
     idx = _shared_index(spark, sf_dir)
-    hits = idx.search_phrase(" ".join(PHRASE), k=idx.n_docs)
+    hits = idx.search_phrase(" ".join(PHRASE), k=max(idx.n_docs, 1))
     return (hits
             .join(idx.docs.select("doc_id", "conv_id"), "doc_id")
             .select(F.substring("conv_id", 6, 8).cast("long")

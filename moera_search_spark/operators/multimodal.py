@@ -589,9 +589,15 @@ def _library_decode_audio(buf: bytes) -> tuple[np.ndarray, int] | None:
     if sf is not None:
         import io
 
-        data, rate = sf.read(io.BytesIO(buf), dtype="float64",
-                             always_2d=True)
-        return data.mean(axis=1), int(rate)
+        try:
+            data, rate = sf.read(io.BytesIO(buf), dtype="float64",
+                                 always_2d=True)
+            return data.mean(axis=1), int(rate)
+        except Exception:
+            # a payload libsndfile rejects (e.g. MP3 on libsndfile
+            # < 1.1) falls through to ffmpeg / the native decoders
+            # instead of failing the whole decode task
+            pass
     import shutil as _sh
 
     if _sh.which("ffmpeg"):

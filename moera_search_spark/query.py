@@ -1412,6 +1412,18 @@ class FTSIndex:
             raise ValueError(f"page must be >= 0 for every query; "
                              f"got page={pages[bad_p[0]]} at query "
                              f"{bad_p[0]}")
+
+        def _hydrated(result):
+            if not hydrate:
+                return result
+            # ≤ Σ k_q rows — broadcast to the docs scan, exactly the
+            # single-query hydrate join (fetch-ids-then-hydrate);
+            # applied to EVERY return so the all-OOV / all-empty
+            # early exits keep the hydrated schema too
+            return (self.docs.join(F.broadcast(result), "doc_id")
+                    .orderBy("query_id", F.desc("score"),
+                             F.asc("doc_id")))
+
         # Auto-chunk a batch whose DISTINCT filter sets exceed the 62
         # fmask bits (VERDICT r4 noted the hard error): split into
         # order-preserving sub-batches of <= 62 distinct sets, run
@@ -1453,27 +1465,12 @@ class FTSIndex:
             for p_ in parts[1:]:
                 out = out.unionByName(p_)
             if hydrate:
-                out = (self.docs.join(F.broadcast(out), "doc_id")
-                       .orderBy("query_id", F.desc("score"),
-                                F.asc("doc_id")))
-            else:
-                out = out.orderBy("query_id", F.desc("score"),
-                                  F.asc("doc_id"))
-            return out
+                return _hydrated(out)
+            return out.orderBy("query_id", F.desc("score"),
+                               F.asc("doc_id"))
         # from/size pagination: rank the top (page+1)·k per query
         # and slice the last k — the single-query depth rule
         depths = [(p + 1) * kq for p, kq in zip(pages, ks)]
-
-        def _hydrated(result):
-            if not hydrate:
-                return result
-            # ≤ Σ k_q rows — broadcast to the docs scan, exactly the
-            # single-query hydrate join (fetch-ids-then-hydrate);
-            # applied to EVERY return so the all-OOV / all-empty
-            # early exits keep the hydrated schema too
-            return (self.docs.join(F.broadcast(result), "doc_id")
-                    .orderBy("query_id", F.desc("score"),
-                             F.asc("doc_id")))
 
         # Strategy routing (round 5): FILTERED sets on a large corpus
         # serve as a UNION of per-query plans — each branch is
